@@ -1,0 +1,26 @@
+"""dgcnn_tpu — a TPU-native graph-classification framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the DGCNN graph-classification
+workload (AAAI-2018 "An End-to-End Deep Learning Architecture for Graph
+Classification"), with the same capability surface as the PyTorch/PyG
+reference (leftthomas/DGCNN) but built TPU-first:
+
+* static padded shapes + ragged-batch masking instead of per-batch Python
+  loops over dynamic graphs,
+* graph convolution as dense `X @ W` on the MXU plus a gather/segment-sum
+  (or Pallas SpMM) edge aggregation,
+* device-side SortPooling (global lexicographic sort, no per-graph densify),
+* a single jitted epoch program (`lax.scan` over pre-packed batches) with
+  on-device metric accumulation,
+* scale-out via `jax.sharding.Mesh` + `shard_map`: data parallelism over
+  graph mega-batches and edge-partitioned aggregation with `psum`.
+
+Reference parity targets are documented per-module via `file:line` citations
+into the reference repo.
+"""
+
+__version__ = "0.1.0"
+
+from dgcnn_tpu.config import Config
+
+__all__ = ["Config", "__version__"]

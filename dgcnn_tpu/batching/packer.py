@@ -1,0 +1,197 @@
+"""Pad-and-bucket ragged batcher.
+
+TPU-native replacement for PyG's `DataLoader`/`Batch.from_data_list`
+(reference train.py:108-109): instead of collating graphs into a
+dynamic-shape mega-graph per batch, we pack up to `batch_size` graphs into
+*fixed* (num_nodes, num_edges, num_graphs) buckets with explicit masks, so
+XLA compiles each bucket shape exactly once and `lax.scan` can iterate a
+whole epoch on device.
+
+Additional invariants established here (so the jitted model never needs
+dynamic work):
+  * self-loops are stripped once at pack time (replaces the per-forward
+    `remove_self_loops` at reference model.py:28);
+  * edges are sorted by destination node — a CSR-like ordering that the
+    Pallas SpMM kernel (kernels/spmm_pallas.py) exploits for contiguous
+    per-destination accumulation;
+  * padded nodes carry graph id `num_graph_slots` (one past the last real
+    slot) so segment ops and SortPooling can exclude them with static
+    shapes only;
+  * padded edges point at node 0 with edge_mask 0 — they contribute exactly
+    0 to aggregation because GCN edge weights are masked on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import numpy as np
+
+from dgcnn_tpu.data.graphset import GraphSet
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketSpec:
+    """Static shapes of a packed batch."""
+
+    num_nodes: int  # N_pad
+    num_edges: int  # E_pad
+    num_graphs: int  # B_pad (graph slots)
+
+
+@dataclasses.dataclass
+class GraphBatch:
+    """One packed mega-batch. All arrays have static, bucket-determined
+    shapes; a pytree of NumPy (host) or jnp (device) arrays.
+
+    x:           [N_pad, F]   node features (zeros in padding)
+    edge_src:    [E_pad]      batch-global source node index (0 in padding)
+    edge_dst:    [E_pad]      batch-global destination node index, sorted
+    edge_mask:   [E_pad]      1.0 for real edges
+    node_graph:  [N_pad]      graph slot of each node; == B_pad in padding
+    node_mask:   [N_pad]      1.0 for real nodes
+    y:           [B_pad]      labels (0 in padding)
+    graph_mask:  [B_pad]      1.0 for real graphs
+    num_graphs:  []           scalar count of real graphs in this batch
+    """
+
+    x: np.ndarray
+    edge_src: np.ndarray
+    edge_dst: np.ndarray
+    edge_mask: np.ndarray
+    node_graph: np.ndarray
+    node_mask: np.ndarray
+    y: np.ndarray
+    graph_mask: np.ndarray
+    num_graphs: np.ndarray
+
+
+def _tree_flatten(batch: GraphBatch):
+    children = tuple(getattr(batch, f.name) for f in dataclasses.fields(GraphBatch))
+    return children, None
+
+
+def _tree_unflatten(aux, children):
+    return GraphBatch(*children)
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(GraphBatch, _tree_flatten, _tree_unflatten)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def compute_bucket(
+    dataset: GraphSet,
+    batch_size: int,
+    node_multiple: int = 256,
+    edge_multiple: int = 512,
+    graph_multiple: int = 8,
+) -> BucketSpec:
+    """Worst-case bucket for shuffled batches of `batch_size` graphs: the sum
+    of the `batch_size` largest node/edge counts, rounded up. Guarantees any
+    batch composition fits, so one XLA compilation covers the whole run."""
+    nc = np.sort(dataset.node_counts())[::-1]
+    ec = np.sort(dataset.edge_counts())[::-1]
+    k = min(batch_size, len(nc))
+    n_max = int(nc[:k].sum())
+    e_max = int(ec[:k].sum())
+    return BucketSpec(
+        num_nodes=_round_up(max(n_max, 1), node_multiple),
+        num_edges=_round_up(max(e_max, 1), edge_multiple),
+        num_graphs=_round_up(batch_size, graph_multiple),
+    )
+
+
+def pack_batch(
+    dataset: GraphSet, graph_indices: Sequence[int], bucket: BucketSpec
+) -> GraphBatch:
+    """Pack the given graphs into one fixed-shape GraphBatch."""
+    idx = np.asarray(graph_indices, dtype=np.int64)
+    b = len(idx)
+    if b > bucket.num_graphs:
+        raise ValueError(f"{b} graphs > bucket.num_graphs={bucket.num_graphs}")
+
+    n_counts = dataset.node_counts()[idx]
+    e_counts = dataset.edge_counts()[idx]
+    n_tot = int(n_counts.sum())
+    if n_tot > bucket.num_nodes:
+        raise ValueError(f"{n_tot} nodes > bucket.num_nodes={bucket.num_nodes}")
+
+    F = dataset.num_features
+    x = np.zeros((bucket.num_nodes, F), dtype=np.float32)
+    node_graph = np.full(bucket.num_nodes, bucket.num_graphs, dtype=np.int32)
+    node_mask = np.zeros(bucket.num_nodes, dtype=np.float32)
+    y = np.zeros(bucket.num_graphs, dtype=np.int32)
+    graph_mask = np.zeros(bucket.num_graphs, dtype=np.float32)
+
+    node_off = np.zeros(b + 1, dtype=np.int64)
+    np.cumsum(n_counts, out=node_off[1:])
+
+    srcs: List[np.ndarray] = []
+    dsts: List[np.ndarray] = []
+    for j, g in enumerate(idx):
+        ns, ne = dataset.node_ptr[g], dataset.node_ptr[g + 1]
+        x[node_off[j] : node_off[j + 1]] = dataset.x[ns:ne]
+        node_graph[node_off[j] : node_off[j + 1]] = j
+        es, ee = dataset.edge_ptr[g], dataset.edge_ptr[g + 1]
+        s = dataset.edge_src[es:ee].astype(np.int64)
+        d = dataset.edge_dst[es:ee].astype(np.int64)
+        keep = s != d  # strip self-loops once (reference model.py:28)
+        srcs.append(s[keep] + node_off[j])
+        dsts.append(d[keep] + node_off[j])
+    node_mask[:n_tot] = 1.0
+    y[:b] = dataset.y[idx]
+    graph_mask[:b] = 1.0
+
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    e_tot = len(src)
+    if e_tot > bucket.num_edges:
+        raise ValueError(f"{e_tot} edges > bucket.num_edges={bucket.num_edges}")
+
+    # CSR-like destination ordering for the Pallas SpMM.
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+
+    edge_src = np.zeros(bucket.num_edges, dtype=np.int32)
+    edge_dst = np.zeros(bucket.num_edges, dtype=np.int32)
+    edge_mask = np.zeros(bucket.num_edges, dtype=np.float32)
+    edge_src[:e_tot] = src
+    edge_dst[:e_tot] = dst
+    edge_mask[:e_tot] = 1.0
+
+    return GraphBatch(
+        x=x,
+        edge_src=edge_src,
+        edge_dst=edge_dst,
+        edge_mask=edge_mask,
+        node_graph=node_graph,
+        node_mask=node_mask,
+        y=y,
+        graph_mask=graph_mask,
+        num_graphs=np.asarray(b, dtype=np.int32),
+    )
+
+
+def pack_epoch(
+    dataset: GraphSet,
+    order: np.ndarray,
+    batch_size: int,
+    bucket: BucketSpec,
+) -> GraphBatch:
+    """Pack an epoch's worth of batches, stacked on a leading axis for
+    `lax.scan`. `order` is the (possibly shuffled) sequence of graph indices;
+    batches are consecutive slices of `batch_size`, with the final ragged
+    batch padded — mirroring the reference loader's batch composition
+    (reference train.py:108-109, drop_last=False)."""
+    order = np.asarray(order, dtype=np.int64)
+    batches = [
+        pack_batch(dataset, order[i : i + batch_size], bucket)
+        for i in range(0, len(order), batch_size)
+    ]
+    return _jtu.tree_map(lambda *xs: np.stack(xs, axis=0), *batches)

@@ -1,0 +1,59 @@
+"""Command-line interface.
+
+Keeps the reference's four user-facing flags with identical names, choices,
+and defaults (reference train.py:17-25) and adds the TPU-build knobs.
+
+    python -m dgcnn_tpu.cli --data_type MUTAG
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from dgcnn_tpu.config import DATASETS, Config
+from dgcnn_tpu.train.cv import run_cross_validation
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train Model")
+    # reference-parity flags (train.py:19-24)
+    parser.add_argument("--data_type", default="DD", type=str, choices=list(DATASETS),
+                        help="dataset type")
+    parser.add_argument("--batch_size", default=50, type=int, help="train batch size")
+    parser.add_argument("--num_epochs", default=100, type=int, help="train epochs number")
+    parser.add_argument("--seed", default=324, type=int, help="random seed")
+    # TPU-build flags
+    parser.add_argument("--data_root", default="data", type=str,
+                        help="dataset root directory")
+    parser.add_argument("--fold_dir", default=None, type=str,
+                        help="directory with {train,test}_idx-<k>.txt fold files")
+    parser.add_argument("--spmm", default="xla", choices=["xla", "pallas"],
+                        help="SpMM kernel implementation")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="allow fallback to synthetic profile data when the "
+                             "real dataset is unavailable offline")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume a partially completed 10-fold run")
+    parser.add_argument("--log_every", default=0, type=int,
+                        help="print metrics every N epochs (0 = per-fold only)")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    opt = get_args(argv)
+    cfg = Config(
+        data_type=opt.data_type,
+        batch_size=opt.batch_size,
+        num_epochs=opt.num_epochs,
+        seed=opt.seed,
+        data_root=opt.data_root,
+        fold_index_dir=opt.fold_dir,
+        spmm_impl=opt.spmm,
+        checkpoint_resume=opt.resume,
+        log_every=opt.log_every,
+    )
+    return run_cross_validation(cfg, allow_synthetic=opt.synthetic)
+
+
+if __name__ == "__main__":
+    main()

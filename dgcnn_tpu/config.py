@@ -1,0 +1,88 @@
+"""Experiment configuration.
+
+Mirrors the reference CLI surface (reference train.py:17-25: --data_type,
+--batch_size=50, --num_epochs=100, --seed=324) and adds the TPU-build knobs
+(mesh shape, bucket spec, kernel selection) that have no reference
+counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+DATASETS = (
+    "DD",
+    "PTC_MR",
+    "NCI1",
+    "PROTEINS",
+    "IMDB-BINARY",
+    "IMDB-MULTI",
+    "MUTAG",
+    "COLLAB",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Full experiment configuration.
+
+    The first four fields replicate the reference's user-facing flags and
+    defaults (reference train.py:19-24); everything after is new, TPU-native
+    surface.
+    """
+
+    # -- reference-parity flags (train.py:19-24) --
+    data_type: str = "DD"
+    batch_size: int = 50
+    num_epochs: int = 100
+    seed: int = 324
+
+    # -- data --
+    data_root: str = "data"
+    # Directory containing {train,test}_idx-{fold}.txt files. If None, looks
+    # under <data_root>/<data_type>/10fold_idx, then falls back to
+    # deterministic stratified folds (see data/folds.py).
+    fold_index_dir: Optional[str] = None
+    use_node_attr: bool = True
+    num_folds: int = 10
+
+    # -- model (hardcoded in the reference model.py:13-23; configurable here) --
+    hidden_dims: Tuple[int, ...] = (32, 32, 32, 1)
+    sort_pool_k: int = 30
+    conv1d_channels: Tuple[int, int] = (16, 32)
+    conv1d_kernel: int = 5
+    dense_dim: int = 128
+    dropout_rate: float = 0.5
+
+    # -- optimization (reference train.py:98-99: Adam all-default, NLL loss) --
+    learning_rate: float = 1e-3
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+
+    # -- TPU-native knobs (no reference counterpart) --
+    # "xla" = jnp.take + segment_sum; "pallas" = Pallas gather-scatter SpMM.
+    spmm_impl: str = "xla"
+    # Pad node/edge counts of a packed batch up to multiples of these.
+    node_pad_multiple: int = 256
+    edge_pad_multiple: int = 512
+    graph_pad_multiple: int = 8
+    # Compute dtype for the network ("float32" or "bfloat16"); params stay fp32.
+    compute_dtype: str = "float32"
+    # Device mesh: (data, graph) axis sizes. (1, 1) = single chip.
+    mesh_shape: Tuple[int, int] = (1, 1)
+
+    # -- artifacts (reference train.py:129-131, 144-145) --
+    epochs_dir: str = "epochs"
+    statistics_dir: str = "statistics"
+    checkpoint_resume: bool = False
+    log_every: int = 0  # epochs between stdout metric lines; 0 = silent
+
+    def __post_init__(self):
+        if self.data_type not in DATASETS:
+            raise ValueError(
+                f"unknown data_type {self.data_type!r}; expected one of {DATASETS}"
+            )
+        if self.spmm_impl not in ("xla", "pallas"):
+            raise ValueError(f"unknown spmm_impl {self.spmm_impl!r}")

@@ -1,0 +1,194 @@
+"""DGCNN — Deep Graph Convolutional Neural Network for graph classification.
+
+The network of the AAAI-2018 paper, with the exact architecture constants of
+the reference implementation (reference model.py:9-45):
+
+    4 × [GCNConv → tanh] with dims (F→32→32→32→1)
+    skip-concat to 97 channels                       (model.py:34)
+    SortPooling k=30                                 (model.py:17,35)
+    Conv1d(1,16,97,97) → ReLU                        (model.py:18,37)
+    MaxPool1d(2,2) → Conv1d(16,32,5,1) → ReLU        (model.py:19-20,38-39)
+    Linear(352,128) → ReLU → Dropout(0.5)            (model.py:21-22,41-42)
+    Linear(128,C) → log_softmax                      (model.py:23,43)
+
+Re-designed as a pure function over a parameter pytree: graphs arrive as a
+packed `GraphBatch` (static shapes + masks), normalization coefficients are
+computed once per forward and shared by all four convolutions, dropout takes
+an explicit PRNG key, and every hot op lowers to MXU matmuls or masked
+segment reductions. Parameter initialization reproduces the reference's
+training-time distributions (PyG glorot for GCN weights, torch
+kaiming-uniform(√5) for conv/linear) so from-scratch training dynamics
+match.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.batching.packer import GraphBatch
+from dgcnn_tpu.ops.gcn import gcn_conv, gcn_degree, gcn_edge_weights
+from dgcnn_tpu.ops.readout import conv1d_readout
+from dgcnn_tpu.ops.sort_pool import sort_pool
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class DGCNN:
+    """Architecture hyperparameters (reference hardcodes these —
+    model.py:13-23; we expose them but default to identical values)."""
+
+    num_features: int
+    num_classes: int
+    hidden_dims: Tuple[int, ...] = (32, 32, 32, 1)
+    sort_pool_k: int = 30
+    conv1d_channels: Tuple[int, int] = (16, 32)
+    conv1d_kernel: int = 5
+    dense_dim: int = 128
+    dropout_rate: float = 0.5
+
+    @property
+    def concat_dim(self) -> int:
+        return sum(self.hidden_dims)
+
+    @property
+    def flat_dim(self) -> int:
+        t = self.sort_pool_k // 2 - self.conv1d_kernel + 1
+        return t * self.conv1d_channels[1]
+
+
+def _glorot_uniform(key, shape):
+    # PyG Linear(weight_initializer='glorot') — U(±sqrt(6/(fan_in+fan_out)))
+    fan_in, fan_out = shape[0], shape[1]
+    a = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -a, a)
+
+
+def _kaiming_uniform_torch(key, shape, fan_in):
+    # torch Conv1d/Linear default: kaiming_uniform(a=√5) → U(±1/sqrt(fan_in))
+    bound = 1.0 / jnp.sqrt(float(fan_in))
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def init_params(key: jax.Array, model: DGCNN) -> Params:
+    keys = jax.random.split(key, 16)
+    ki = iter(keys)
+
+    gcn = []
+    in_dim = model.num_features
+    for out_dim in model.hidden_dims:
+        w = _glorot_uniform(next(ki), (in_dim, out_dim))
+        gcn.append({"w": w, "b": jnp.zeros((out_dim,), jnp.float32)})
+        in_dim = out_dim
+
+    c5, c6 = model.conv1d_channels
+    cat = model.concat_dim
+    width = model.conv1d_kernel
+
+    w5 = _kaiming_uniform_torch(next(ki), (cat, c5), fan_in=cat)
+    b5 = _kaiming_uniform_torch(next(ki), (c5,), fan_in=cat)
+    w6 = _kaiming_uniform_torch(next(ki), (width, c5, c6), fan_in=c5 * width)
+    b6 = _kaiming_uniform_torch(next(ki), (c6,), fan_in=c5 * width)
+
+    flat = model.flat_dim
+    lin1_w = _kaiming_uniform_torch(next(ki), (flat, model.dense_dim), fan_in=flat)
+    lin1_b = _kaiming_uniform_torch(next(ki), (model.dense_dim,), fan_in=flat)
+    lin2_w = _kaiming_uniform_torch(
+        next(ki), (model.dense_dim, model.num_classes), fan_in=model.dense_dim
+    )
+    lin2_b = _kaiming_uniform_torch(
+        next(ki), (model.num_classes,), fan_in=model.dense_dim
+    )
+
+    return {
+        "gcn": gcn,
+        "conv5": {"w": w5, "b": b5},
+        "conv6": {"w": w6, "b": b6},
+        "lin1": {"w": lin1_w, "b": lin1_b},
+        "lin2": {"w": lin2_w, "b": lin2_b},
+    }
+
+
+def num_params(params: Params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+def apply(
+    params: Params,
+    model: DGCNN,
+    batch: GraphBatch,
+    *,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    spmm_impl: str = "xla",
+    return_activations: bool = False,
+):
+    """Forward pass → log-probabilities [num_graph_slots, num_classes].
+
+    Padded graph slots produce garbage rows; downstream loss/metrics mask
+    them with `batch.graph_mask`. With `return_activations=True` also
+    returns the per-stage tensors used by the golden-parity harness
+    (SURVEY §4: allclose on conv outputs, SortPooling outputs, logits).
+    """
+    num_nodes = batch.x.shape[0]
+    num_slots = batch.y.shape[0]
+
+    deg_hat = gcn_degree(batch.edge_dst, batch.edge_mask, num_nodes)
+    edge_w = gcn_edge_weights(batch.edge_src, batch.edge_dst, batch.edge_mask, deg_hat)
+
+    acts = {}
+    x = batch.x
+    layer_outs = []
+    for i, layer in enumerate(params["gcn"]):
+        x = jnp.tanh(
+            gcn_conv(
+                x,
+                layer["w"],
+                layer["b"],
+                batch.edge_src,
+                batch.edge_dst,
+                edge_w,
+                deg_hat,
+                impl=spmm_impl,
+            )
+        )
+        # padded nodes: tanh(0 + b) ≠ 0 once biases train — mask them so
+        # they can never leak into SortPooling of real graphs (they carry
+        # out-of-range graph ids anyway; masking also keeps activations
+        # clean for parity dumps).
+        x = x * batch.node_mask[:, None]
+        layer_outs.append(x)
+        acts[f"gcn{i + 1}"] = x
+
+    cat = jnp.concatenate(layer_outs, axis=-1)
+    pooled = sort_pool(cat, batch.node_graph, num_slots, model.sort_pool_k)
+    acts["sort_pool"] = pooled
+
+    feats = conv1d_readout(
+        pooled,
+        params["conv5"]["w"],
+        params["conv5"]["b"],
+        params["conv6"]["w"],
+        params["conv6"]["b"],
+    )
+    acts["readout"] = feats
+
+    h = jax.nn.relu(jnp.dot(feats, params["lin1"]["w"]) + params["lin1"]["b"])
+    if not deterministic:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required when deterministic=False")
+        keep = 1.0 - model.dropout_rate
+        mask = jax.random.bernoulli(dropout_rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
+
+    logits = jnp.dot(h, params["lin2"]["w"]) + params["lin2"]["b"]
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    acts["log_probs"] = log_probs
+
+    if return_activations:
+        return log_probs, acts
+    return log_probs

@@ -1,0 +1,60 @@
+"""SortPooling — device-side, fully static-shape.
+
+Capability-equivalent of PyG `SortAggregation(k)` / `global_sort_pool`
+(reference model.py:17,35): per graph, order nodes descending by the last
+feature channel (the 1-wide conv4 output — a continuous WL color), keep the
+top-k rows, zero-pad graphs with fewer than k nodes.
+
+TPU-first design: PyG densifies to [B, max_nodes, C] and sorts per graph.
+Max nodes per graph can be large (D&D: ~5.7k), so instead we do ONE global
+lexicographic sort over the packed node axis:
+
+    sort by (graph_id ASC, key DESC), stable in original node order
+
+then compute each node's within-graph rank from the sorted graph-id run
+starts and scatter rows with rank < k into a [B, k, C] output. Everything
+is static shape; padded nodes carry graph_id == num_graph_slots and fall
+off the end of the scatter (mode="drop"). Stability of `lax.lax.sort`
+reproduces PyG's tie handling (equal keys keep node order).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sort_pool(
+    x: jax.Array,
+    node_graph: jax.Array,
+    num_graph_slots: int,
+    k: int,
+) -> jax.Array:
+    """[N, C] node features → [num_graph_slots, k, C] sort-pooled features.
+
+    Args:
+      x: packed node features, padding rows anywhere (excluded via ids).
+      node_graph: graph slot per node; padded nodes == num_graph_slots.
+      num_graph_slots: static number of graph slots (B_pad).
+      k: static number of nodes kept per graph.
+    """
+    n = x.shape[0]
+    key = x[:, -1].astype(jnp.float32)
+    node_idx = jnp.arange(n, dtype=jnp.int32)
+
+    # lexicographic stable sort: graph ascending, key descending.
+    g_sorted, _, perm = jax.lax.sort(
+        (node_graph.astype(jnp.int32), -key, node_idx), num_keys=2
+    )
+    x_sorted = jnp.take(x, perm, axis=0)
+
+    # within-graph rank = sorted position − first sorted position of my graph
+    starts = jnp.searchsorted(
+        g_sorted, jnp.arange(num_graph_slots, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    safe_g = jnp.minimum(g_sorted, num_graph_slots - 1)
+    rank = jnp.arange(n, dtype=jnp.int32) - jnp.take(starts, safe_g)
+
+    out = jnp.zeros((num_graph_slots, k, x.shape[1]), dtype=x.dtype)
+    # out-of-range (padding graphs, rank >= k) indices are dropped.
+    return out.at[g_sorted, rank].set(x_sorted, mode="drop")

@@ -1,0 +1,258 @@
+"""10-fold cross-validation driver.
+
+Reproduces the reference experiment protocol (reference train.py:69-148):
+for each fold 1..10 — fresh model + Adam(defaults), vendored fold indices,
+shuffled train batches of `batch_size`, 100 epochs of train+test, per-fold
+CSV + checkpoint, and finally an overall CSV plus a printed
+"mean±std of last-epoch accuracy across folds" line (train.py:144-148).
+
+TPU-native differences (behavior-preserving at the protocol level):
+  * each epoch is one jitted `lax.scan` program over pre-packed,
+    fixed-shape batches — no per-batch host sync (SURVEY §3.2);
+  * batches are packed into a per-dataset worst-case bucket, so XLA
+    compiles the step exactly once per fold shape;
+  * checkpoints are full `(params, opt_state)` bundles with a resume path
+    (the reference saves weights it never loads — train.py:129);
+  * the RNG is explicitly keyed per fold (the reference seeds once globally,
+    so its fold k depends on folds 1..k-1 having run — SURVEY §4; explicit
+    keys give the stronger property of per-fold reproducibility).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import optax
+
+from dgcnn_tpu.batching.packer import compute_bucket, pack_epoch
+from dgcnn_tpu.config import Config
+from dgcnn_tpu.data.datasets import load_dataset
+from dgcnn_tpu.data.folds import get_folds
+from dgcnn_tpu.data.graphset import GraphSet
+from dgcnn_tpu.models.dgcnn import DGCNN, init_params, num_params
+from dgcnn_tpu.train.loop import make_eval_epoch, make_train_epoch
+from dgcnn_tpu.train.metrics import EventLog, FoldMetrics, write_overall_csv
+from dgcnn_tpu.utils.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def _model_from_config(cfg: Config, num_features: int, num_classes: int) -> DGCNN:
+    return DGCNN(
+        num_features=num_features,
+        num_classes=num_classes,
+        hidden_dims=cfg.hidden_dims,
+        sort_pool_k=cfg.sort_pool_k,
+        conv1d_channels=cfg.conv1d_channels,
+        conv1d_kernel=cfg.conv1d_kernel,
+        dense_dim=cfg.dense_dim,
+        dropout_rate=cfg.dropout_rate,
+    )
+
+
+def _completed_fold_accuracies(csv_path: str, num_epochs: int) -> Optional[Tuple[float, float]]:
+    """If a fold CSV already holds `num_epochs` rows, return its last-epoch
+    (train_acc, test_acc) so `--resume` can skip the fold."""
+    if not os.path.exists(csv_path):
+        return None
+    with open(csv_path) as f:
+        lines = f.read().strip().splitlines()
+    if len(lines) != num_epochs + 1:
+        return None
+    last = lines[-1].split(",")
+    return float(last[3]), float(last[4])
+
+
+def run_fold(
+    cfg: Config,
+    dataset: GraphSet,
+    model: DGCNN,
+    fold_number: int,
+    train_idx: np.ndarray,
+    test_idx: np.ndarray,
+    bucket,
+    events: EventLog,
+    optimizer: optax.GradientTransformation,
+    train_epoch,
+    eval_epoch,
+) -> FoldMetrics:
+    """One fold. `train_epoch`/`eval_epoch` are shared across folds so the
+    jitted programs compile once per shape, not once per fold."""
+    train_set = dataset.subset(train_idx)
+    test_set = dataset.subset(test_idx)
+
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), fold_number)
+    init_key, run_key = jax.random.split(key)
+    params = init_params(init_key, model)
+    opt_state = optimizer.init(params)
+
+    # test batches never reshuffle (reference train.py:109: shuffle=False)
+    test_batches = jax.device_put(
+        pack_epoch(test_set, np.arange(test_set.num_graphs), cfg.batch_size, bucket)
+    )
+    shuffle_rng = np.random.default_rng(
+        np.random.SeedSequence([cfg.seed, fold_number])
+    )
+
+    metrics = FoldMetrics()
+    train_edges = int(train_set.total_edges)
+    for epoch in range(1, cfg.num_epochs + 1):
+        order = shuffle_rng.permutation(train_set.num_graphs)
+        batches = pack_epoch(train_set, order, cfg.batch_size, bucket)
+
+        t0 = time.perf_counter()
+        params, opt_state, run_key, tr_loss, tr_correct = train_epoch(
+            params, opt_state, run_key, batches
+        )
+        te_loss, te_correct = eval_epoch(params, test_batches)
+        tr_loss, tr_correct, te_loss, te_correct = jax.device_get(
+            (tr_loss, tr_correct, te_loss, te_correct)
+        )
+        dt = time.perf_counter() - t0
+
+        train_acc = float(tr_correct) / train_set.num_graphs * 100.0
+        test_acc = float(te_correct) / test_set.num_graphs * 100.0
+        metrics.append(tr_loss, te_loss, train_acc, test_acc)
+        events.write(
+            kind="epoch",
+            fold=fold_number,
+            epoch=epoch,
+            train_loss=float(tr_loss),
+            test_loss=float(te_loss),
+            train_accuracy=train_acc,
+            test_accuracy=test_acc,
+            epoch_seconds=dt,
+            edges_per_second=train_edges / dt if dt > 0 else 0.0,
+        )
+        if cfg.log_every and epoch % cfg.log_every == 0:
+            print(
+                f"[fold {fold_number}] epoch {epoch}: "
+                f"train {tr_loss:.4f}/{train_acc:.2f}% "
+                f"test {te_loss:.4f}/{test_acc:.2f}% ({dt:.2f}s)"
+            )
+
+    # per-fold artifacts (reference train.py:129-131)
+    save_checkpoint(
+        os.path.join(cfg.epochs_dir, f"{cfg.data_type}_{fold_number}"),
+        {"params": params, "opt_state": opt_state},
+    )
+    metrics.to_csv(
+        os.path.join(cfg.statistics_dir, f"{cfg.data_type}_results_{fold_number}.csv")
+    )
+    return metrics
+
+
+def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_synthetic: bool = False):
+    """Full experiment — the equivalent of `python train.py` in the
+    reference. Returns a result dict with per-fold and aggregate metrics."""
+    if dataset is None:
+        dataset, meta = load_dataset(
+            cfg.data_type,
+            root=cfg.data_root,
+            use_node_attr=cfg.use_node_attr,
+            allow_synthetic=allow_synthetic,
+        )
+        if meta.source == "synthetic":
+            print(f"WARNING: using synthetic {cfg.data_type} profile data")
+
+    # startup print, same info as reference train.py:87
+    print(f"num_features={dataset.num_features}, num_classes={dataset.num_classes}")
+
+    model = _model_from_config(cfg, dataset.num_features, dataset.num_classes)
+    bucket = compute_bucket(
+        dataset,
+        cfg.batch_size,
+        cfg.node_pad_multiple,
+        cfg.edge_pad_multiple,
+        cfg.graph_pad_multiple,
+    )
+
+    fold_dir = cfg.fold_index_dir or os.path.join(
+        cfg.data_root, cfg.data_type, "10fold_idx"
+    )
+    folds = get_folds(dataset.y, fold_dir, cfg.num_folds, cfg.seed)
+
+    events = EventLog(
+        os.path.join(cfg.statistics_dir, f"{cfg.data_type}_events.jsonl")
+    )
+    events.write(
+        kind="run_start",
+        data_type=cfg.data_type,
+        num_graphs=dataset.num_graphs,
+        num_features=dataset.num_features,
+        num_classes=dataset.num_classes,
+        bucket=dict(
+            num_nodes=bucket.num_nodes,
+            num_edges=bucket.num_edges,
+            num_graphs=bucket.num_graphs,
+        ),
+        num_params=num_params(
+            init_params(jax.random.PRNGKey(0), model)
+        ),
+    )
+
+    optimizer = optax.adam(
+        cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps
+    )
+    train_epoch = make_train_epoch(model, optimizer, cfg.spmm_impl)
+    eval_epoch = make_eval_epoch(model, cfg.spmm_impl)
+
+    train_accs, test_accs = [], []
+    for fold_number, (train_idx, test_idx) in enumerate(folds, start=1):
+        csv_path = os.path.join(
+            cfg.statistics_dir, f"{cfg.data_type}_results_{fold_number}.csv"
+        )
+        ckpt_path = os.path.join(cfg.epochs_dir, f"{cfg.data_type}_{fold_number}")
+        if cfg.checkpoint_resume and checkpoint_exists(ckpt_path):
+            done = _completed_fold_accuracies(csv_path, cfg.num_epochs)
+            if done is not None:
+                train_accs.append(done[0])
+                test_accs.append(done[1])
+                print(f"[fold {fold_number}] resumed (complete): test {done[1]:.2f}%")
+                continue
+
+        t0 = time.perf_counter()
+        metrics = run_fold(
+            cfg, dataset, model, fold_number, train_idx, test_idx, bucket,
+            events, optimizer, train_epoch, eval_epoch,
+        )
+        dt = time.perf_counter() - t0
+        train_accs.append(metrics.last("train_accuracy"))
+        test_accs.append(metrics.last("test_accuracy"))
+        print(
+            f"[{fold_number}] Train Acc: {train_accs[-1]:.2f}% "
+            f"Test Acc: {test_accs[-1]:.2f}% ({dt:.1f}s)"
+        )
+
+    write_overall_csv(
+        os.path.join(cfg.statistics_dir, f"{cfg.data_type}_results_overall.csv"),
+        train_accs,
+        test_accs,
+    )
+    tr, te = np.array(train_accs), np.array(test_accs)
+    # same summary line format as reference train.py:146-148
+    print(
+        "Overall Training Accuracy: %.2f%% (std: %.2f) Testing Accuracy: %.2f%% (std: %.2f)"
+        % (tr.mean(), tr.std(), te.mean(), te.std())
+    )
+    events.write(
+        kind="run_end",
+        train_accuracy_mean=float(tr.mean()),
+        train_accuracy_std=float(tr.std()),
+        test_accuracy_mean=float(te.mean()),
+        test_accuracy_std=float(te.std()),
+    )
+    return {
+        "train_accuracies": train_accs,
+        "test_accuracies": test_accs,
+        "train_accuracy_mean": float(tr.mean()),
+        "train_accuracy_std": float(tr.std()),
+        "test_accuracy_mean": float(te.mean()),
+        "test_accuracy_std": float(te.std()),
+    }

@@ -1,0 +1,100 @@
+"""Jitted training / evaluation loops.
+
+The reference iterates batches in Python, synchronizing the device twice per
+batch via `loss.item()` / `.sum().item()` (reference train.py:35-45) — a
+launch-latency-bound pattern. Here an entire epoch is ONE jitted program:
+batches are pre-packed into a stacked pytree and `lax.scan` drives the step,
+with loss/correct accumulated on device and a single host transfer per epoch
+(SURVEY §3.2 note).
+
+Contract parity with the reference loops:
+  * loss per batch = NLLLoss mean over the batch's real graphs
+    (train.py:39); the epoch metric is the *mean of per-batch means*
+    (train.py:47,66), so a smaller final batch is over-weighted exactly as
+    in the reference;
+  * train accuracy is measured during training with dropout active
+    (train.py:37,45);
+  * optimizer update order: backward → step → zero_grad (train.py:40-42) ≡
+    a single optax apply_updates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dgcnn_tpu.batching.packer import GraphBatch
+from dgcnn_tpu.models.dgcnn import DGCNN, Params, apply
+
+
+def nll_loss_and_correct(
+    log_probs: jax.Array, y: jax.Array, graph_mask: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked NLL (mean over real graphs) and correct-prediction count."""
+    n = jnp.maximum(graph_mask.sum(), 1.0)
+    ll = jnp.take_along_axis(log_probs, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+    loss = -(ll * graph_mask).sum() / n
+    pred = jnp.argmax(log_probs, axis=-1).astype(y.dtype)
+    correct = ((pred == y).astype(jnp.float32) * graph_mask).sum()
+    return loss, correct
+
+
+def make_train_epoch(
+    model: DGCNN,
+    optimizer: optax.GradientTransformation,
+    spmm_impl: str = "xla",
+) -> Callable:
+    """Returns jitted `(params, opt_state, rng, batches) →
+    (params, opt_state, rng, mean_loss, correct)` where `batches` is a
+    GraphBatch pytree with a leading scan axis."""
+
+    def step(carry, batch: GraphBatch):
+        params, opt_state, rng = carry
+        rng, dropout_rng = jax.random.split(rng)
+
+        def loss_fn(p):
+            lp = apply(
+                p,
+                model,
+                batch,
+                deterministic=False,
+                dropout_rng=dropout_rng,
+                spmm_impl=spmm_impl,
+            )
+            loss, correct = nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+            return loss, correct
+
+        (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rng), (loss, correct)
+
+    @jax.jit
+    def train_epoch(params, opt_state, rng, batches):
+        (params, opt_state, rng), (losses, corrects) = jax.lax.scan(
+            step, (params, opt_state, rng), batches
+        )
+        return params, opt_state, rng, losses.mean(), corrects.sum()
+
+    return train_epoch
+
+
+def make_eval_epoch(model: DGCNN, spmm_impl: str = "xla") -> Callable:
+    """Returns jitted `(params, batches) → (mean_loss, correct)` — the
+    equivalent of the reference `test()` (train.py:49-66): eval mode
+    (dropout off), no grad."""
+
+    @jax.jit
+    def eval_epoch(params: Params, batches):
+        def body(carry, batch):
+            lp = apply(params, model, batch, deterministic=True, spmm_impl=spmm_impl)
+            loss, correct = nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+            return carry, (loss, correct)
+
+        _, (losses, corrects) = jax.lax.scan(body, None, batches)
+        return losses.mean(), corrects.sum()
+
+    return eval_epoch

@@ -1,0 +1,78 @@
+"""End-to-end CV driver test: artifact contract (per-fold CSV, overall CSV,
+checkpoints — reference train.py:129-131,144-145) and resume."""
+
+import os
+
+import numpy as np
+
+from dgcnn_tpu.config import Config
+from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
+from dgcnn_tpu.train.cv import run_cross_validation
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        data_type="MUTAG",
+        batch_size=16,
+        num_epochs=3,
+        seed=324,
+        num_folds=3,
+        data_root=str(tmp_path / "data"),
+        epochs_dir=str(tmp_path / "epochs"),
+        statistics_dir=str(tmp_path / "statistics"),
+        node_pad_multiple=64,
+        edge_pad_multiple=128,
+        graph_pad_multiple=4,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_cv_artifacts_and_aggregate(tmp_path):
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
+    cfg = _cfg(tmp_path)
+    result = run_cross_validation(cfg, dataset=gs)
+
+    assert len(result["test_accuracies"]) == 3
+    for fold in (1, 2, 3):
+        csv = tmp_path / "statistics" / f"MUTAG_results_{fold}.csv"
+        assert csv.exists()
+        lines = csv.read_text().strip().splitlines()
+        assert lines[0] == "epoch,train_loss,test_loss,train_accuracy,test_accuracy"
+        assert len(lines) == cfg.num_epochs + 1
+        assert os.path.exists(tmp_path / "epochs" / f"MUTAG_{fold}.npz")
+    overall = tmp_path / "statistics" / "MUTAG_results_overall.csv"
+    assert overall.exists()
+    assert len(overall.read_text().strip().splitlines()) == 4
+    # aggregate = mean of last-epoch accuracies (reference train.py:135-136)
+    np.testing.assert_allclose(
+        result["test_accuracy_mean"], np.mean(result["test_accuracies"])
+    )
+    # events stream exists and records epochs
+    events = tmp_path / "statistics" / "MUTAG_events.jsonl"
+    assert events.exists()
+    assert sum(1 for line in events.open() if '"epoch"' in line) == 9
+
+
+def test_cv_resume_skips_completed_folds(tmp_path, capsys):
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
+    run_cross_validation(_cfg(tmp_path), dataset=gs)
+    capsys.readouterr()
+    # delete fold-3 artifacts → resume should redo only fold 3
+    os.remove(tmp_path / "statistics" / "MUTAG_results_3.csv")
+    result = run_cross_validation(
+        _cfg(tmp_path, checkpoint_resume=True), dataset=gs
+    )
+    out = capsys.readouterr().out
+    assert out.count("resumed (complete)") == 2
+    assert len(result["test_accuracies"]) == 3
+
+
+def test_cv_reproducible(tmp_path):
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
+    r1 = run_cross_validation(_cfg(tmp_path, statistics_dir=str(tmp_path / "s1"),
+                                   epochs_dir=str(tmp_path / "e1")), dataset=gs)
+    r2 = run_cross_validation(_cfg(tmp_path, statistics_dir=str(tmp_path / "s2"),
+                                   epochs_dir=str(tmp_path / "e2")), dataset=gs)
+    np.testing.assert_allclose(r1["test_accuracies"], r2["test_accuracies"])
+    np.testing.assert_allclose(r1["train_accuracies"], r2["train_accuracies"])

@@ -1,0 +1,178 @@
+"""Data layer tests: TU parser round-trip, feature assembly, folds.
+
+Mirrors SURVEY §4 unit-test targets: parser vs known dataset stats,
+Indegree vs hand-computed degrees.
+"""
+
+import numpy as np
+import pytest
+
+from dgcnn_tpu.data import (
+    GraphSet,
+    load_fold_indices,
+    make_stratified_folds,
+    parse_tu_dir,
+    synthesize_tu_dataset,
+    write_tu_format,
+)
+from dgcnn_tpu.data.datasets import DATASET_STATS, load_dataset
+from dgcnn_tpu.data.synthetic import PROFILES
+
+
+def tiny_graphset():
+    """Two tiny graphs with hand-checkable degrees.
+
+    g0: 3 nodes, edges 0→1, 1→0, 1→2, 2→1 (path). in-deg = [1, 2, 1]
+    g1: 2 nodes, edges 0→1, 1→0.            in-deg = [1, 1]
+    """
+    node_ptr = np.array([0, 3, 5], dtype=np.int64)
+    edge_src = np.array([0, 1, 1, 2, 0, 1], dtype=np.int32)
+    edge_dst = np.array([1, 0, 2, 1, 1, 0], dtype=np.int32)
+    edge_ptr = np.array([0, 4, 6], dtype=np.int64)
+    x = np.arange(10, dtype=np.float32).reshape(5, 2)
+    y = np.array([0, 1], dtype=np.int32)
+    return GraphSet(x, node_ptr, edge_src, edge_dst, edge_ptr, y, 2)
+
+
+def test_tu_roundtrip(tmp_path):
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=25, seed=3)
+    # re-derive label/attr columns to emit: drop the final degree column and
+    # recover categorical labels from the one-hot block
+    onehot = gs.x[:, :-1]
+    node_labels = onehot.argmax(axis=1).astype(np.int64)
+    raw = tmp_path / "raw"
+    write_tu_format(
+        str(raw),
+        "SYN",
+        gs.node_ptr,
+        gs.edge_src,
+        gs.edge_dst,
+        gs.edge_ptr,
+        gs.y,
+        node_labels=node_labels,
+    )
+    parsed = parse_tu_dir(str(raw), "SYN")
+    assert parsed.num_graphs == gs.num_graphs
+    assert parsed.num_classes == gs.num_classes
+    np.testing.assert_array_equal(parsed.node_ptr, gs.node_ptr)
+    np.testing.assert_array_equal(parsed.y, gs.y)
+    # same edges (parser may reorder within a graph): compare sorted pairs
+    for g in range(gs.num_graphs):
+        a = np.stack(
+            [
+                gs.edge_src[gs.edge_ptr[g] : gs.edge_ptr[g + 1]],
+                gs.edge_dst[gs.edge_ptr[g] : gs.edge_ptr[g + 1]],
+            ],
+            axis=1,
+        )
+        b = np.stack(
+            [
+                parsed.edge_src[parsed.edge_ptr[g] : parsed.edge_ptr[g + 1]],
+                parsed.edge_dst[parsed.edge_ptr[g] : parsed.edge_ptr[g + 1]],
+            ],
+            axis=1,
+        )
+        a = a[np.lexsort((a[:, 1], a[:, 0]))]
+        b = b[np.lexsort((b[:, 1], b[:, 0]))]
+        np.testing.assert_array_equal(a, b)
+    # identical feature assembly (one-hot + per-graph normalized degree)
+    np.testing.assert_allclose(parsed.x, gs.x, rtol=1e-6)
+
+
+def test_indegree_normalization():
+    """Degree column normalized by the PER-GRAPH max (reference
+    utils.py:22-23 — pre_transform runs per graph)."""
+    gs = tiny_graphset()
+    from dgcnn_tpu.data.tu_parser import assemble_features
+
+    x = assemble_features(
+        total_nodes=5,
+        node_ptr=gs.node_ptr,
+        local_dst=gs.edge_dst,
+        edge_ptr=gs.edge_ptr,
+        node_labels=None,
+        node_attrs=gs.x,
+    )
+    # g0 degrees [1,2,1], max 2 → [0.5, 1.0, 0.5]; g1 [1,1], max 1 → [1, 1]
+    np.testing.assert_allclose(x[:, -1], [0.5, 1.0, 0.5, 1.0, 1.0])
+    # attrs preserved in front
+    np.testing.assert_allclose(x[:, :-1], gs.x)
+
+
+def test_degree_only_datasets():
+    """COLLAB/IMDB have no labels/attrs → degree is the only feature
+    (reference utils.py:30-31; SURVEY §2d)."""
+    gs = synthesize_tu_dataset("IMDB-BINARY", num_graphs=10, seed=0)
+    assert gs.num_features == 1
+
+
+def test_profiles_match_published_stats():
+    for name, stats in DATASET_STATS.items():
+        p = PROFILES[name]
+        assert p["num_graphs"] == stats["num_graphs"]
+        assert p["num_classes"] == stats["num_classes"]
+        # feature dim = attrs + label bins + degree column
+        assert p["num_attrs"] + p["num_node_labels"] + 1 == stats["num_features"]
+
+
+def test_subset_preserves_graphs():
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=20, seed=1)
+    sub = gs.subset(np.array([5, 2, 7]))
+    assert sub.num_graphs == 3
+    np.testing.assert_array_equal(sub.y, gs.y[[5, 2, 7]])
+    # graph 1 of the subset is original graph 2
+    n0, n1 = gs.node_ptr[2], gs.node_ptr[3]
+    np.testing.assert_allclose(
+        sub.x[sub.node_ptr[1] : sub.node_ptr[2]], gs.x[n0:n1]
+    )
+
+
+def test_fold_files_roundtrip(tmp_path):
+    train = np.array([0, 2, 4, 6])
+    test = np.array([1, 3])
+    np.savetxt(tmp_path / "train_idx-1.txt", train, fmt="%d")
+    np.savetxt(tmp_path / "test_idx-1.txt", test, fmt="%d")
+    tr, te = load_fold_indices(str(tmp_path), 1)
+    np.testing.assert_array_equal(tr, train)
+    np.testing.assert_array_equal(te, test)
+
+
+def test_stratified_folds_partition():
+    y = np.array([0] * 17 + [1] * 23)
+    folds = make_stratified_folds(y, num_folds=10, seed=0)
+    assert len(folds) == 10
+    all_test = np.concatenate([te for _, te in folds])
+    # exact partition
+    np.testing.assert_array_equal(np.sort(all_test), np.arange(40))
+    for tr, te in folds:
+        assert len(np.intersect1d(tr, te)) == 0
+        assert len(tr) + len(te) == 40
+
+
+def test_load_dataset_synthetic_cache(tmp_path):
+    gs, meta = load_dataset(
+        "MUTAG", root=str(tmp_path), allow_download=False, allow_synthetic=True
+    )
+    assert meta.source == "synthetic"
+    assert gs.num_classes == 2
+
+
+def test_load_dataset_from_raw(tmp_path):
+    gs = synthesize_tu_dataset("IMDB-BINARY", num_graphs=12, seed=5)
+    raw = tmp_path / "IMDB-BINARY" / "raw"
+    write_tu_format(
+        str(raw),
+        "IMDB-BINARY",
+        gs.node_ptr,
+        gs.edge_src,
+        gs.edge_dst,
+        gs.edge_ptr,
+        gs.y,
+    )
+    loaded, meta = load_dataset("IMDB-BINARY", root=str(tmp_path), allow_download=False)
+    assert meta.source == "raw"
+    np.testing.assert_allclose(loaded.x, gs.x, rtol=1e-6)
+    # second load hits the npz cache
+    again, meta2 = load_dataset("IMDB-BINARY", root=str(tmp_path), allow_download=False)
+    assert meta2.source == "cache"
+    np.testing.assert_allclose(again.x, gs.x, rtol=1e-6)

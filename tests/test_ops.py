@@ -1,0 +1,158 @@
+"""Op-level golden tests vs the dense NumPy oracle (SURVEY §4 item 1):
+gcn_norm/gcn_conv vs dense-matrix reference, SpMM vs dense, SortPooling
+edge cases (<k nodes, >k nodes, exact ties, padding exclusion)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgcnn_tpu.batching import BucketSpec, pack_batch
+from dgcnn_tpu.data.graphset import GraphSet
+from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
+from dgcnn_tpu.ops import gcn_conv, gcn_degree, gcn_edge_weights, sort_pool, spmm
+from oracle import gcn_layer_dense, sort_pool_single
+
+
+def _single_graph_batch(x, edges, num_nodes_pad=32, num_edges_pad=64):
+    n = x.shape[0]
+    gs = GraphSet(
+        x=x.astype(np.float32),
+        node_ptr=np.array([0, n], np.int64),
+        edge_src=edges[:, 0].astype(np.int32),
+        edge_dst=edges[:, 1].astype(np.int32),
+        edge_ptr=np.array([0, len(edges)], np.int64),
+        y=np.array([0], np.int32),
+        num_classes=2,
+    )
+    bucket = BucketSpec(num_nodes_pad, num_edges_pad, 4)
+    return pack_batch(gs, [0], bucket)
+
+
+def test_spmm_matches_dense():
+    rng = np.random.default_rng(0)
+    n, e, f = 20, 60, 7
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    w = rng.normal(size=e).astype(np.float32)
+    h = rng.normal(size=(n, f)).astype(np.float32)
+
+    out = spmm(jnp.array(src), jnp.array(dst), jnp.array(w), jnp.array(h), n)
+    dense = np.zeros((n, n), np.float64)
+    for s, d, wt in zip(src, dst, w):
+        dense[d, s] += wt
+    np.testing.assert_allclose(np.asarray(out), dense @ h, rtol=1e-5, atol=1e-5)
+
+
+def test_gcn_conv_matches_dense_oracle():
+    rng = np.random.default_rng(1)
+    n, f, out_dim = 9, 5, 4
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    # undirected edge set, no self-loops, includes an isolated node (8)
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (2, 6)]
+    edges = np.array(und + [(b, a) for a, b in und], np.int64)
+    w = rng.normal(size=(f, out_dim)).astype(np.float32)
+    b = rng.normal(size=(out_dim,)).astype(np.float32)
+
+    batch = _single_graph_batch(x, edges)
+    deg = gcn_degree(jnp.array(batch.edge_dst), jnp.array(batch.edge_mask), 32)
+    ew = gcn_edge_weights(
+        jnp.array(batch.edge_src), jnp.array(batch.edge_dst),
+        jnp.array(batch.edge_mask), deg,
+    )
+    got = gcn_conv(
+        jnp.array(batch.x), jnp.array(w), jnp.array(b),
+        jnp.array(batch.edge_src), jnp.array(batch.edge_dst), ew, deg,
+    )
+    want = gcn_layer_dense(x, edges, w, b)
+    np.testing.assert_allclose(np.asarray(got)[:n], want, rtol=1e-5, atol=1e-5)
+
+
+def test_gcn_isolated_node_self_loop_only():
+    """An isolated node's output must equal its own features through the
+    self-loop with d̂=1 (PyG GCNConv add_self_loops semantics)."""
+    x = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32)
+    edges = np.zeros((0, 2), np.int64)
+    w = np.eye(2, dtype=np.float32)
+    b = np.zeros(2, np.float32)
+    batch = _single_graph_batch(x, edges)
+    deg = gcn_degree(jnp.array(batch.edge_dst), jnp.array(batch.edge_mask), 32)
+    ew = gcn_edge_weights(
+        jnp.array(batch.edge_src), jnp.array(batch.edge_dst),
+        jnp.array(batch.edge_mask), deg,
+    )
+    got = gcn_conv(
+        jnp.array(batch.x), jnp.array(w), jnp.array(b),
+        jnp.array(batch.edge_src), jnp.array(batch.edge_dst), ew, deg,
+    )
+    np.testing.assert_allclose(np.asarray(got)[:2], x, rtol=1e-6)
+
+
+def _pool_case(xs, k=3):
+    """Pack several small graphs' features and sort-pool them."""
+    counts = [len(x) for x in xs]
+    n_pad = 16
+    node_graph = np.full(n_pad, len(xs), np.int32)
+    feat = np.zeros((n_pad, xs[0].shape[1]), np.float32)
+    off = 0
+    for i, x in enumerate(xs):
+        feat[off : off + len(x)] = x
+        node_graph[off : off + len(x)] = i
+        off += len(x)
+    out = sort_pool(jnp.array(feat), jnp.array(node_graph), len(xs), k)
+    return np.asarray(out)
+
+
+def test_sort_pool_matches_oracle():
+    rng = np.random.default_rng(3)
+    xs = [rng.normal(size=(n, 4)).astype(np.float32) for n in (5, 2, 7)]
+    got = _pool_case(xs, k=3)
+    for i, x in enumerate(xs):
+        np.testing.assert_allclose(got[i], sort_pool_single(x, 3), rtol=1e-6)
+
+
+def test_sort_pool_fewer_than_k_zero_pads():
+    x = np.array([[1.0, 0.5], [2.0, -0.3]], np.float32)
+    got = _pool_case([x], k=4)
+    np.testing.assert_allclose(got[0, :2], sort_pool_single(x, 4)[:2], rtol=1e-6)
+    assert (got[0, 2:] == 0).all()
+
+
+def test_sort_pool_ties_keep_node_order():
+    """Equal sort keys: PyG's stable sort keeps original node order
+    (SURVEY §2c row 2)."""
+    x = np.array(
+        [[10.0, 1.0], [20.0, 1.0], [30.0, 1.0], [40.0, 1.0]], np.float32
+    )
+    got = _pool_case([x], k=4)
+    np.testing.assert_allclose(got[0], x)  # untouched order under full tie
+
+
+def test_sort_pool_excludes_padding():
+    """Padded nodes (graph id == num_slots) never enter any graph's top-k,
+    even with maximal keys."""
+    n_pad = 8
+    feat = np.full((n_pad, 2), 99.0, np.float32)  # padding rows scream 99
+    feat[:2] = [[1.0, 0.1], [2.0, 0.2]]
+    node_graph = np.full(n_pad, 1, np.int32)
+    node_graph[:2] = 0
+    out = np.asarray(sort_pool(jnp.array(feat), jnp.array(node_graph), 1, 4))
+    np.testing.assert_allclose(out[0, 0], [2.0, 0.2])
+    np.testing.assert_allclose(out[0, 1], [1.0, 0.1])
+    assert (out[0, 2:] == 0).all()
+
+
+def test_sort_pool_jit_and_grad():
+    """Must be jittable and differentiable (flows gradients to kept rows)."""
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=6, seed=4)
+    from dgcnn_tpu.batching import compute_bucket, pack_batch
+
+    bucket = compute_bucket(gs, 6)
+    b = pack_batch(gs, np.arange(6), bucket)
+
+    @jax.jit
+    def f(x):
+        return sort_pool(x, jnp.array(b.node_graph), bucket.num_graphs, 5).sum()
+
+    g = jax.grad(f)(jnp.array(b.x))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
