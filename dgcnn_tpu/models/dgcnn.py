@@ -125,6 +125,7 @@ def apply(
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     spmm_impl: str = "xla",
+    edge_axis: Optional[str] = None,
     return_activations: bool = False,
 ):
     """Forward pass → log-probabilities [num_graph_slots, num_classes].
@@ -133,11 +134,16 @@ def apply(
     them with `batch.graph_mask`. With `return_activations=True` also
     returns the per-stage tensors used by the golden-parity harness
     (SURVEY §4: allclose on conv outputs, SortPooling outputs, logits).
+
+    `edge_axis`: mesh axis over which this batch's edge stream is
+    partitioned (edge-partitioned graph parallelism, SURVEY §2e) — node
+    arrays are replicated on that axis, aggregations are psum'd, and every
+    device computes the identical, full forward result.
     """
     num_nodes = batch.x.shape[0]
     num_slots = batch.y.shape[0]
 
-    deg_hat = gcn_degree(batch.edge_dst, batch.edge_mask, num_nodes)
+    deg_hat = gcn_degree(batch.edge_dst, batch.edge_mask, num_nodes, edge_axis)
     edge_w = gcn_edge_weights(batch.edge_src, batch.edge_dst, batch.edge_mask, deg_hat)
 
     acts = {}
@@ -154,6 +160,7 @@ def apply(
                 edge_w,
                 deg_hat,
                 impl=spmm_impl,
+                edge_axis=edge_axis,
             )
         )
         # padded nodes: tanh(0 + b) ≠ 0 once biases train — mask them so

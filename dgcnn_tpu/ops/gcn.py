@@ -20,6 +20,8 @@ features, contributing nothing downstream).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -27,16 +29,23 @@ from dgcnn_tpu.ops.spmm import spmm
 
 
 def gcn_degree(
-    edge_dst: jax.Array, edge_mask: jax.Array, num_nodes: int
+    edge_dst: jax.Array,
+    edge_mask: jax.Array,
+    num_nodes: int,
+    edge_axis: Optional[str] = None,
 ) -> jax.Array:
     """d̂ = in-degree over real edges + 1 (the re-added self-loop).
 
     PyG computes degrees from the destination column (GCNConv.gcn_norm);
-    TU graphs store both edge directions so in == out degree.
+    TU graphs store both edge directions so in == out degree. With the edge
+    stream partitioned over mesh axis `edge_axis`, partial in-degrees are
+    psum'd so every device holds the full degree vector.
     """
     deg = jax.ops.segment_sum(
         edge_mask, edge_dst, num_segments=num_nodes, indices_are_sorted=True
     )
+    if edge_axis is not None:
+        deg = jax.lax.psum(deg, edge_axis)
     return deg + 1.0
 
 
@@ -62,6 +71,7 @@ def gcn_conv(
     edge_weight: jax.Array,
     deg_hat: jax.Array,
     impl: str = "xla",
+    edge_axis: Optional[str] = None,
 ) -> jax.Array:
     """One GCNConv layer given precomputed edge weights and degrees.
 
@@ -70,6 +80,9 @@ def gcn_conv(
     reference model.py:30-33; hoisting is behavior-preserving since the
     graph is static within a forward)."""
     h = jnp.dot(x, weight, preferred_element_type=jnp.float32)
-    agg = spmm(edge_src, edge_dst, edge_weight, h, h.shape[0], impl=impl)
+    agg = spmm(
+        edge_src, edge_dst, edge_weight, h, h.shape[0], impl=impl,
+        edge_axis=edge_axis,
+    )
     agg = agg + h * (1.0 / deg_hat)[:, None]
     return agg + bias

@@ -20,6 +20,8 @@ nothing — no dynamic shapes anywhere.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -47,11 +49,20 @@ def spmm(
     h: jax.Array,
     num_nodes: int,
     impl: str = "xla",
+    edge_axis: Optional[str] = None,
 ) -> jax.Array:
+    """`edge_axis`: mesh axis name over which the edge stream is partitioned
+    (SURVEY §2e item 2 — each device owns a slice of the batch adjacency and
+    computes a partial aggregate over the full, replicated node set; one
+    psum over ICI reconstitutes the exact single-chip result)."""
     if impl == "xla":
-        return spmm_xla(edge_src, edge_dst, edge_weight, h, num_nodes)
-    if impl == "pallas":
+        out = spmm_xla(edge_src, edge_dst, edge_weight, h, num_nodes)
+    elif impl == "pallas":
         from dgcnn_tpu.kernels.spmm_pallas import spmm_pallas
 
-        return spmm_pallas(edge_src, edge_dst, edge_weight, h, num_nodes)
-    raise ValueError(f"unknown spmm impl {impl!r}")
+        out = spmm_pallas(edge_src, edge_dst, edge_weight, h, num_nodes)
+    else:
+        raise ValueError(f"unknown spmm impl {impl!r}")
+    if edge_axis is not None:
+        out = jax.lax.psum(out, edge_axis)
+    return out

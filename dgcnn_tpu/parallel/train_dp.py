@@ -1,0 +1,136 @@
+"""Mesh-sharded training: data parallelism × edge-partitioned graphs.
+
+New capability with no reference counterpart (the reference is strictly
+single-device — SURVEY §2e). The training *protocol* is preserved exactly:
+one global batch per optimizer step, loss = mean NLL over that batch's real
+graphs. The mesh only changes WHERE the work runs:
+
+  * each "data"-axis device computes the forward/backward for its balanced
+    sub-batch; `psum(loss_sum)/psum(count)` reproduces the global-batch
+    mean, and autodiff through `shard_map` inserts the matching gradient
+    all-reduces over ICI;
+  * each "graph"-axis device segment-sums its contiguous slice of a
+    sub-batch's adjacency over the replicated node block; one psum per
+    GCN layer reconstitutes the exact aggregate (spmm edge_axis path).
+
+The optimizer update itself runs on replicated params outside shard_map —
+XLA keeps it fused into the same program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from dgcnn_tpu.models.dgcnn import DGCNN, apply
+from dgcnn_tpu.parallel.shard import batch_pspecs, local_view
+
+
+def _loss_terms(log_probs, y, graph_mask):
+    ll = jnp.take_along_axis(log_probs, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+    loss_sum = -(ll * graph_mask).sum()
+    pred = jnp.argmax(log_probs, axis=-1).astype(y.dtype)
+    correct = ((pred == y).astype(jnp.float32) * graph_mask).sum()
+    return loss_sum, correct
+
+
+def make_sharded_loss(model: DGCNN, mesh: Mesh, spmm_impl: str = "xla",
+                      deterministic: bool = False) -> Callable:
+    """(params, step_batch, rng) → (global mean loss, correct count).
+
+    `step_batch` leaves are laid out per `batch_pspecs(scan_axis=False)`.
+    Differentiable: `jax.grad` through the shard_map yields exact
+    global-batch gradients (replicated)."""
+    # psum over a size-1 axis is a no-op, so the edge stream is always
+    # declared "graph"-partitioned — this also gives check_vma its
+    # replication proof for the scalar outputs.
+    edge_axis = "graph"
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), batch_pspecs(scan_axis=False), P()),
+        out_specs=(P(), P()),
+    )
+    def sharded(params, batch, rng):
+        local = local_view(batch)
+        dropout_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        lp = apply(
+            params,
+            model,
+            local,
+            deterministic=deterministic,
+            dropout_rng=None if deterministic else dropout_rng,
+            spmm_impl=spmm_impl,
+            edge_axis=edge_axis,
+        )
+        loss_sum, correct = _loss_terms(lp, local.y, local.graph_mask)
+        total = jnp.maximum(jax.lax.psum(local.graph_mask.sum(), "data"), 1.0)
+        loss = jax.lax.psum(loss_sum, "data") / total
+        correct = jax.lax.psum(correct, "data")
+        return loss, correct
+
+    return sharded
+
+
+def make_dp_train_epoch(
+    model: DGCNN,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    spmm_impl: str = "xla",
+) -> Callable:
+    """Jitted `(params, opt_state, rng, batches) → (params, opt_state, rng,
+    mean_loss, correct)`; `batches` laid out per `pack_epoch_dp`."""
+    sharded_loss = make_sharded_loss(model, mesh, spmm_impl, deterministic=False)
+
+    def step(carry, batch):
+        params, opt_state, rng = carry
+        rng, sub = jax.random.split(rng)
+        (loss, correct), grads = jax.value_and_grad(
+            lambda p: sharded_loss(p, batch, sub), has_aux=True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rng), (loss, correct)
+
+    @jax.jit
+    def train_epoch(params, opt_state, rng, batches):
+        (params, opt_state, rng), (losses, corrects) = jax.lax.scan(
+            step, (params, opt_state, rng), batches
+        )
+        return params, opt_state, rng, losses.mean(), corrects.sum()
+
+    return train_epoch
+
+
+def make_dp_eval_epoch(model: DGCNN, mesh: Mesh, spmm_impl: str = "xla") -> Callable:
+    sharded_loss = make_sharded_loss(model, mesh, spmm_impl, deterministic=True)
+    dummy = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def eval_epoch(params, batches):
+        def body(carry, batch):
+            loss, correct = sharded_loss(params, batch, dummy)
+            return carry, (loss, correct)
+
+        _, (losses, corrects) = jax.lax.scan(body, None, batches)
+        return losses.mean(), corrects.sum()
+
+    return eval_epoch
+
+
+def device_put_epoch(batches, mesh: Mesh):
+    """Place a packed epoch on the mesh with the canonical shardings."""
+    specs = batch_pspecs(scan_axis=True)
+    return jax.tree_util.tree_map(
+        lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
+        batches,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
