@@ -4,6 +4,11 @@ Protocol: full training epochs (forward + backward + Adam update, batch 50,
 identical model/loss to the reference protocol) over the NCI1-profile
 dataset; throughput = real graph edges consumed per wall-clock second.
 
+Three aggregation paths are measured — dense MXU adjacency blocks (the
+TPU-native layout, default for small-graph datasets), XLA COO SpMM, and the
+Pallas gather-scatter COO kernel — and the framework-default (dense) is
+the headline.
+
 Baseline: the reference publishes 61.04 s per NCI1 training epoch on a GTX
 1070 (reference README.md:128-138; mirrored in BASELINE.md). It publishes
 no throughput numbers, so the edges/s baseline is *derived* (BASELINE.md
@@ -22,11 +27,28 @@ import time
 import numpy as np
 
 
+def _time_epochs(train_epoch, params, opt_state, batches, reps=5):
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    # warm-up / compile
+    p, s, k, loss, _ = train_epoch(params, opt_state, key, batches)
+    jax.block_until_ready(loss)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        p, s, k, loss, _ = train_epoch(p, s, k, batches)
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    return min(times), times
+
+
 def main():
     import jax
     import optax
 
     from dgcnn_tpu.batching import compute_bucket, pack_epoch
+    from dgcnn_tpu.batching.dense import dense_tile, pack_dense_epoch
     from dgcnn_tpu.data.datasets import load_dataset
     from dgcnn_tpu.models.dgcnn import DGCNN, init_params
     from dgcnn_tpu.train.loop import make_train_epoch
@@ -43,28 +65,33 @@ def main():
     params = init_params(jax.random.PRNGKey(324), model)
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
-    train_epoch = make_train_epoch(model, optimizer)
+    order = np.arange(train.num_graphs)
 
+    # epoch edge count: self-loops are stripped at pack time; every real
+    # (directed) edge is aggregated once per epoch per GCN stack pass.
     bucket = compute_bucket(train, 50)
-    batches = jax.device_put(pack_epoch(train, np.arange(train.num_graphs), 50, bucket))
-    key = jax.random.PRNGKey(0)
+    coo_batches = jax.device_put(pack_epoch(train, order, 50, bucket))
+    epoch_edges = float(np.asarray(coo_batches.edge_mask).sum())
 
-    # self-loops are stripped at pack time; count the edges actually aggregated
-    epoch_edges = float(np.asarray(batches.edge_mask).sum())
+    results = {}
 
-    # warm-up / compile
-    params, opt_state, key, loss, _ = train_epoch(params, opt_state, key, batches)
-    jax.block_until_ready(loss)
+    dense_batches = jax.device_put(
+        pack_dense_epoch(train, order, 50, dense_tile(train), 56)
+    )
+    best, times = _time_epochs(
+        make_train_epoch(model, optimizer), params, opt_state, dense_batches
+    )
+    results["dense"] = (best, times)
 
-    reps, times = 5, []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        params, opt_state, key, loss, _ = train_epoch(params, opt_state, key, batches)
-        jax.block_until_ready(loss)
-        times.append(time.perf_counter() - t0)
+    for impl in ("xla", "pallas"):
+        best, times = _time_epochs(
+            make_train_epoch(model, optimizer, spmm_impl=impl),
+            params, opt_state, coo_batches,
+        )
+        results[f"coo_{impl}"] = (best, times)
 
-    best = min(times)
-    edges_per_s = epoch_edges / best
+    headline = results["dense"][0]
+    edges_per_s = epoch_edges / headline
     # derived GTX-1070 baseline: same epoch's edges / published 61.04 s
     baseline = epoch_edges / 61.04
 
@@ -78,9 +105,15 @@ def main():
             }
         )
     )
+    detail = {
+        k: {
+            "epoch_ms": round(v[0] * 1e3, 2),
+            "edges_per_s": round(epoch_edges / v[0], 1),
+        }
+        for k, v in results.items()
+    }
     print(
-        f"# data={meta.source} epoch_edges={epoch_edges:.0f} "
-        f"epoch_time_best={best * 1e3:.1f}ms times_ms={[round(t * 1e3, 1) for t in times]}",
+        f"# data={meta.source} epoch_edges={epoch_edges:.0f} paths={json.dumps(detail)}",
         file=sys.stderr,
     )
 

@@ -17,8 +17,11 @@ dynamic work):
   * padded nodes carry graph id `num_graph_slots` (one past the last real
     slot) so segment ops and SortPooling can exclude them with static
     shapes only;
-  * padded edges point at node 0 with edge_mask 0 — they contribute exactly
-    0 to aggregation because GCN edge weights are masked on device.
+  * padded edges carry edge_mask 0 and point at the LAST node slot
+    (src 0 → dst N_pad−1), so the destination column stays globally
+    sorted — `indices_are_sorted` reductions and the Pallas kernel's
+    CSR row ranges remain valid — while contributing exactly 0 (their
+    GCN edge weights are masked on device).
 """
 
 from __future__ import annotations
@@ -89,7 +92,7 @@ def compute_bucket(
     dataset: GraphSet,
     batch_size: int,
     node_multiple: int = 256,
-    edge_multiple: int = 512,
+    edge_multiple: int = 1024,
     graph_multiple: int = 8,
 ) -> BucketSpec:
     """Worst-case bucket for shuffled batches of `batch_size` graphs: the sum
@@ -159,7 +162,7 @@ def pack_batch(
     src, dst = src[order], dst[order]
 
     edge_src = np.zeros(bucket.num_edges, dtype=np.int32)
-    edge_dst = np.zeros(bucket.num_edges, dtype=np.int32)
+    edge_dst = np.full(bucket.num_edges, bucket.num_nodes - 1, dtype=np.int32)
     edge_mask = np.zeros(bucket.num_edges, dtype=np.float32)
     edge_src[:e_tot] = src
     edge_dst[:e_tot] = dst

@@ -27,8 +27,10 @@ def get_args(argv=None):
                         help="dataset root directory")
     parser.add_argument("--fold_dir", default=None, type=str,
                         help="directory with {train,test}_idx-<k>.txt fold files")
+    parser.add_argument("--layout", default="auto", choices=["auto", "coo", "dense"],
+                        help="batch layout: dense MXU adjacency blocks or COO+SpMM")
     parser.add_argument("--spmm", default="xla", choices=["xla", "pallas"],
-                        help="SpMM kernel implementation")
+                        help="COO SpMM kernel implementation")
     parser.add_argument("--synthetic", action="store_true",
                         help="allow fallback to synthetic profile data when the "
                              "real dataset is unavailable offline")
@@ -48,6 +50,7 @@ def main(argv=None):
         seed=opt.seed,
         data_root=opt.data_root,
         fold_index_dir=opt.fold_dir,
+        layout=opt.layout,
         spmm_impl=opt.spmm,
         checkpoint_resume=opt.resume,
         log_every=opt.log_every,

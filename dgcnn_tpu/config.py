@@ -62,11 +62,19 @@ class Config:
     adam_eps: float = 1e-8
 
     # -- TPU-native knobs (no reference counterpart) --
-    # "xla" = jnp.take + segment_sum; "pallas" = Pallas gather-scatter SpMM.
+    # Batch layout: "dense" = per-graph dense normalized adjacency, GCN
+    # propagation as batched MXU matmuls (fastest for small-graph datasets);
+    # "coo" = packed edge lists + SpMM; "auto" picks dense when the largest
+    # graph and the stacked-epoch footprint allow it.
+    layout: str = "auto"
+    dense_max_nodes: int = 2048
+    dense_max_epoch_bytes: int = 2_000_000_000
+    # COO aggregation kernel: "xla" = jnp.take + segment_sum;
+    # "pallas" = Pallas gather-scatter SpMM.
     spmm_impl: str = "xla"
     # Pad node/edge counts of a packed batch up to multiples of these.
     node_pad_multiple: int = 256
-    edge_pad_multiple: int = 512
+    edge_pad_multiple: int = 1024  # Pallas SpMM needs 1024-aligned edge streams
     graph_pad_multiple: int = 8
     # Compute dtype for the network ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
@@ -86,3 +94,5 @@ class Config:
             )
         if self.spmm_impl not in ("xla", "pallas"):
             raise ValueError(f"unknown spmm_impl {self.spmm_impl!r}")
+        if self.layout not in ("auto", "coo", "dense"):
+            raise ValueError(f"unknown layout {self.layout!r}")

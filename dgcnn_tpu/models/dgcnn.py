@@ -29,10 +29,11 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from dgcnn_tpu.batching.dense import DenseGraphBatch
 from dgcnn_tpu.batching.packer import GraphBatch
 from dgcnn_tpu.ops.gcn import gcn_conv, gcn_degree, gcn_edge_weights
 from dgcnn_tpu.ops.readout import conv1d_readout
-from dgcnn_tpu.ops.sort_pool import sort_pool
+from dgcnn_tpu.ops.sort_pool import sort_pool, sort_pool_dense
 
 Params = Dict[str, Any]
 
@@ -117,7 +118,40 @@ def num_params(params: Params) -> int:
     return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
 
 
-def apply(
+def _pooled_to_log_probs(
+    params: Params,
+    model: DGCNN,
+    pooled: jax.Array,  # [B, k, C]
+    deterministic: bool,
+    dropout_rng: Optional[jax.Array],
+    acts: dict,
+):
+    """Shared tail: conv1d readout → MLP head → log_softmax
+    (reference model.py:36-43). Used by both the COO and dense paths."""
+    feats = conv1d_readout(
+        pooled,
+        params["conv5"]["w"],
+        params["conv5"]["b"],
+        params["conv6"]["w"],
+        params["conv6"]["b"],
+    )
+    acts["readout"] = feats
+
+    h = jax.nn.relu(jnp.dot(feats, params["lin1"]["w"]) + params["lin1"]["b"])
+    if not deterministic:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required when deterministic=False")
+        keep = 1.0 - model.dropout_rate
+        mask = jax.random.bernoulli(dropout_rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
+
+    logits = jnp.dot(h, params["lin2"]["w"]) + params["lin2"]["b"]
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    acts["log_probs"] = log_probs
+    return log_probs
+
+
+def apply_coo(
     params: Params,
     model: DGCNN,
     batch: GraphBatch,
@@ -175,27 +209,61 @@ def apply(
     pooled = sort_pool(cat, batch.node_graph, num_slots, model.sort_pool_k)
     acts["sort_pool"] = pooled
 
-    feats = conv1d_readout(
-        pooled,
-        params["conv5"]["w"],
-        params["conv5"]["b"],
-        params["conv6"]["w"],
-        params["conv6"]["b"],
+    log_probs = _pooled_to_log_probs(
+        params, model, pooled, deterministic, dropout_rng, acts
     )
-    acts["readout"] = feats
-
-    h = jax.nn.relu(jnp.dot(feats, params["lin1"]["w"]) + params["lin1"]["b"])
-    if not deterministic:
-        if dropout_rng is None:
-            raise ValueError("dropout_rng required when deterministic=False")
-        keep = 1.0 - model.dropout_rate
-        mask = jax.random.bernoulli(dropout_rng, keep, h.shape)
-        h = jnp.where(mask, h / keep, 0.0)
-
-    logits = jnp.dot(h, params["lin2"]["w"]) + params["lin2"]["b"]
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
-    acts["log_probs"] = log_probs
-
     if return_activations:
         return log_probs, acts
     return log_probs
+
+
+def apply_dense(
+    params: Params,
+    model: DGCNN,
+    batch: DenseGraphBatch,
+    *,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    return_activations: bool = False,
+):
+    """Forward pass on the dense block-diagonal layout (batching/dense.py):
+    GCN propagation is one batched MXU matmul against the host-precomputed
+    normalized adjacency — semantically identical to `apply_coo`
+    (test_dense.py asserts logit equality)."""
+    acts = {}
+    h = batch.x
+    mask = batch.node_mask[..., None]
+    layer_outs = []
+    for i, layer in enumerate(params["gcn"]):
+        hw = jnp.einsum(
+            "bnf,fo->bno", h, layer["w"], preferred_element_type=jnp.float32
+        )
+        h = jnp.tanh(
+            jnp.einsum(
+                "bij,bjf->bif", batch.adj, hw, preferred_element_type=jnp.float32
+            )
+            + layer["b"]
+        )
+        h = h * mask
+        layer_outs.append(h)
+        acts[f"gcn{i + 1}"] = h
+
+    cat = jnp.concatenate(layer_outs, axis=-1)
+    pooled = sort_pool_dense(cat, batch.node_mask, model.sort_pool_k)
+    acts["sort_pool"] = pooled
+
+    log_probs = _pooled_to_log_probs(
+        params, model, pooled, deterministic, dropout_rng, acts
+    )
+    if return_activations:
+        return log_probs, acts
+    return log_probs
+
+
+def apply(params: Params, model: DGCNN, batch, **kwargs):
+    """Layout-polymorphic forward: dispatches on the batch type."""
+    if isinstance(batch, DenseGraphBatch):
+        kwargs.pop("spmm_impl", None)
+        kwargs.pop("edge_axis", None)
+        return apply_dense(params, model, batch, **kwargs)
+    return apply_coo(params, model, batch, **kwargs)

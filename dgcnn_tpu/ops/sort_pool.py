@@ -58,3 +58,19 @@ def sort_pool(
     out = jnp.zeros((num_graph_slots, k, x.shape[1]), dtype=x.dtype)
     # out-of-range (padding graphs, rank >= k) indices are dropped.
     return out.at[g_sorted, rank].set(x_sorted, mode="drop")
+
+
+def sort_pool_dense(x: jax.Array, node_mask: jax.Array, k: int) -> jax.Array:
+    """SortPooling for the dense block-diagonal layout: [B, n, C] → [B, k, C].
+
+    `lax.top_k` on the masked last channel; equal keys resolve to the lower
+    node index (matching PyG's stable descending sort); graphs with fewer
+    than k real nodes zero-pad (−inf sentinel rows are zeroed)."""
+    if x.shape[1] < k:  # whole dataset smaller than k → pad node axis
+        pad = k - x.shape[1]
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        node_mask = jnp.pad(node_mask, ((0, 0), (0, pad)))
+    key = jnp.where(node_mask > 0, x[..., -1].astype(jnp.float32), -jnp.inf)
+    top_val, top_idx = jax.lax.top_k(key, k)
+    pooled = jnp.take_along_axis(x, top_idx[..., None], axis=1)
+    return jnp.where(jnp.isfinite(top_val)[..., None], pooled, 0.0)

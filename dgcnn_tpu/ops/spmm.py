@@ -58,9 +58,15 @@ def spmm(
     if impl == "xla":
         out = spmm_xla(edge_src, edge_dst, edge_weight, h, num_nodes)
     elif impl == "pallas":
-        from dgcnn_tpu.kernels.spmm_pallas import spmm_pallas
+        from dgcnn_tpu.kernels.spmm_pallas import spmm_pallas, spmm_pallas_fits
 
-        out = spmm_pallas(edge_src, edge_dst, edge_weight, h, num_nodes)
+        if spmm_pallas_fits(h.shape[0], h.shape[1], edge_src.shape[0]):
+            # Mosaic kernels only run compiled on TPU; interpret elsewhere
+            # (the CPU test mesh).
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            out = spmm_pallas(edge_src, edge_dst, edge_weight, h, interpret)
+        else:
+            out = spmm_xla(edge_src, edge_dst, edge_weight, h, num_nodes)
     else:
         raise ValueError(f"unknown spmm impl {impl!r}")
     if edge_axis is not None:

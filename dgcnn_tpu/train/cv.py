@@ -28,6 +28,7 @@ import jax
 import numpy as np
 import optax
 
+from dgcnn_tpu.batching.dense import dense_epoch_bytes, dense_tile, pack_dense_epoch
 from dgcnn_tpu.batching.packer import compute_bucket, pack_epoch
 from dgcnn_tpu.config import Config
 from dgcnn_tpu.data.datasets import load_dataset
@@ -56,6 +57,45 @@ def _model_from_config(cfg: Config, num_features: int, num_classes: int) -> DGCN
     )
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def choose_layout(cfg: Config, dataset: GraphSet) -> str:
+    """Pick the batch layout (Config.layout docstring): dense MXU blocks
+    when the dataset's largest graph and the stacked-epoch footprint fit,
+    else the COO/SpMM path (e.g. D&D's 5.7k-node outliers)."""
+    if cfg.layout != "auto":
+        return cfg.layout
+    n_tile = dense_tile(dataset)
+    slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
+    if (
+        n_tile <= cfg.dense_max_nodes
+        and dense_epoch_bytes(dataset, cfg.batch_size, n_tile, slots)
+        <= cfg.dense_max_epoch_bytes
+    ):
+        return "dense"
+    return "coo"
+
+
+def make_pack_fn(cfg: Config, dataset: GraphSet, layout: str):
+    """Epoch-packing callable (dataset-wide shapes, stable across folds)."""
+    if layout == "dense":
+        n_tile = dense_tile(dataset)
+        slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
+        return lambda ds, order: pack_dense_epoch(
+            ds, order, cfg.batch_size, n_tile, slots
+        )
+    bucket = compute_bucket(
+        dataset,
+        cfg.batch_size,
+        cfg.node_pad_multiple,
+        cfg.edge_pad_multiple,
+        cfg.graph_pad_multiple,
+    )
+    return lambda ds, order: pack_epoch(ds, order, cfg.batch_size, bucket)
+
+
 def _completed_fold_accuracies(csv_path: str, num_epochs: int) -> Optional[Tuple[float, float]]:
     """If a fold CSV already holds `num_epochs` rows, return its last-epoch
     (train_acc, test_acc) so `--resume` can skip the fold."""
@@ -76,7 +116,7 @@ def run_fold(
     fold_number: int,
     train_idx: np.ndarray,
     test_idx: np.ndarray,
-    bucket,
+    pack_fn,
     events: EventLog,
     optimizer: optax.GradientTransformation,
     train_epoch,
@@ -93,9 +133,7 @@ def run_fold(
     opt_state = optimizer.init(params)
 
     # test batches never reshuffle (reference train.py:109: shuffle=False)
-    test_batches = jax.device_put(
-        pack_epoch(test_set, np.arange(test_set.num_graphs), cfg.batch_size, bucket)
-    )
+    test_batches = jax.device_put(pack_fn(test_set, np.arange(test_set.num_graphs)))
     shuffle_rng = np.random.default_rng(
         np.random.SeedSequence([cfg.seed, fold_number])
     )
@@ -104,7 +142,7 @@ def run_fold(
     train_edges = int(train_set.total_edges)
     for epoch in range(1, cfg.num_epochs + 1):
         order = shuffle_rng.permutation(train_set.num_graphs)
-        batches = pack_epoch(train_set, order, cfg.batch_size, bucket)
+        batches = pack_fn(train_set, order)
 
         t0 = time.perf_counter()
         params, opt_state, run_key, tr_loss, tr_correct = train_epoch(
@@ -165,13 +203,8 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
     print(f"num_features={dataset.num_features}, num_classes={dataset.num_classes}")
 
     model = _model_from_config(cfg, dataset.num_features, dataset.num_classes)
-    bucket = compute_bucket(
-        dataset,
-        cfg.batch_size,
-        cfg.node_pad_multiple,
-        cfg.edge_pad_multiple,
-        cfg.graph_pad_multiple,
-    )
+    layout = choose_layout(cfg, dataset)
+    pack_fn = make_pack_fn(cfg, dataset, layout)
 
     fold_dir = cfg.fold_index_dir or os.path.join(
         cfg.data_root, cfg.data_type, "10fold_idx"
@@ -187,11 +220,7 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
         num_graphs=dataset.num_graphs,
         num_features=dataset.num_features,
         num_classes=dataset.num_classes,
-        bucket=dict(
-            num_nodes=bucket.num_nodes,
-            num_edges=bucket.num_edges,
-            num_graphs=bucket.num_graphs,
-        ),
+        layout=layout,
         num_params=num_params(
             init_params(jax.random.PRNGKey(0), model)
         ),
@@ -219,7 +248,7 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
 
         t0 = time.perf_counter()
         metrics = run_fold(
-            cfg, dataset, model, fold_number, train_idx, test_idx, bucket,
+            cfg, dataset, model, fold_number, train_idx, test_idx, pack_fn,
             events, optimizer, train_epoch, eval_epoch,
         )
         dt = time.perf_counter() - t0
