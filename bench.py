@@ -27,18 +27,17 @@ import time
 import numpy as np
 
 
-def _time_epochs(train_epoch, params, opt_state, batches, reps=5):
+def _time_epochs(run_one_epoch, reps=5):
+    """`run_one_epoch(rep) -> jax value`; times each rep after a warm-up.
+    Callers vary their inputs per rep — repeated identical dispatches can be
+    cached by the device transport and report fantasy numbers."""
     import jax
 
-    key = jax.random.PRNGKey(0)
-    # warm-up / compile
-    p, s, k, loss, _ = train_epoch(params, opt_state, key, batches)
-    jax.block_until_ready(loss)
+    jax.block_until_ready(run_one_epoch(-1))  # warm-up / compile
     times = []
-    for _ in range(reps):
+    for r in range(reps):
         t0 = time.perf_counter()
-        p, s, k, loss, _ = train_epoch(p, s, k, batches)
-        jax.block_until_ready(loss)
+        jax.block_until_ready(run_one_epoch(r))
         times.append(time.perf_counter() - t0)
     return min(times), times
 
@@ -48,10 +47,14 @@ def main():
     import optax
 
     from dgcnn_tpu.batching import compute_bucket, pack_epoch
-    from dgcnn_tpu.batching.dense import dense_tile, pack_dense_epoch
+    from dgcnn_tpu.batching.dense import (
+        build_dense_dataset,
+        dense_tile,
+        order_matrix,
+    )
     from dgcnn_tpu.data.datasets import load_dataset
     from dgcnn_tpu.models.dgcnn import DGCNN, init_params
-    from dgcnn_tpu.train.loop import make_train_epoch
+    from dgcnn_tpu.train.loop import make_dense_gather_epochs, make_train_epoch
 
     # real data when present under data/, synthetic NCI1 profile otherwise
     gs, meta = load_dataset("NCI1", allow_download=False, allow_synthetic=True)
@@ -72,25 +75,38 @@ def main():
     bucket = compute_bucket(train, 50)
     coo_batches = jax.device_put(pack_epoch(train, order, 50, bucket))
     epoch_edges = float(np.asarray(coo_batches.edge_mask).sum())
+    shuffle = np.random.default_rng(7)
 
     results = {}
 
-    dense_batches = jax.device_put(
-        pack_dense_epoch(train, order, 50, dense_tile(train), 56)
-    )
-    best, times = _time_epochs(
-        make_train_epoch(model, optimizer), params, opt_state, dense_batches
-    )
-    results["dense"] = (best, times)
+    # headline path: device-resident dense dataset, on-device batch gather —
+    # exactly what the CV driver runs for NCI1 (train/cv.py DenseEngine).
+    data = jax.device_put(build_dense_dataset(train, dense_tile(train)))
+    dense_train, _ = make_dense_gather_epochs(model, optimizer)
+    state = {"p": params, "s": opt_state, "k": jax.random.PRNGKey(0)}
+
+    def dense_epoch(_):
+        order2d = order_matrix(shuffle.permutation(train.num_graphs), 50, 56)
+        state["p"], state["s"], state["k"], loss, _ = dense_train(
+            state["p"], state["s"], state["k"], data, order2d
+        )
+        return loss
+
+    results["dense_gather"] = _time_epochs(dense_epoch)
 
     for impl in ("xla", "pallas"):
-        best, times = _time_epochs(
-            make_train_epoch(model, optimizer, spmm_impl=impl),
-            params, opt_state, coo_batches,
-        )
-        results[f"coo_{impl}"] = (best, times)
+        coo_train = make_train_epoch(model, optimizer, spmm_impl=impl)
+        st = {"p": params, "s": opt_state, "k": jax.random.PRNGKey(0)}
 
-    headline = results["dense"][0]
+        def coo_epoch(_):
+            st["p"], st["s"], st["k"], loss, _ = coo_train(
+                st["p"], st["s"], st["k"], coo_batches
+            )
+            return loss
+
+        results[f"coo_{impl}"] = _time_epochs(coo_epoch)
+
+    headline = results["dense_gather"][0]
     edges_per_s = epoch_edges / headline
     # derived GTX-1070 baseline: same epoch's edges / published 61.04 s
     baseline = epoch_edges / 61.04

@@ -136,3 +136,76 @@ def dense_epoch_bytes(dataset: GraphSet, batch_size: int, n_tile: int,
     steps = -(-dataset.num_graphs // batch_size)
     per_batch = num_graph_slots * n_tile * (n_tile + dataset.num_features + 1) * 4
     return steps * per_batch
+
+
+# -- device-resident dense dataset ------------------------------------------
+#
+# The normalized adjacency of a graph never changes across epochs or folds,
+# so the whole dataset is materialized in dense form ONCE, moved to HBM, and
+# an epoch's batches are built *on device* by gathering graph rows with the
+# epoch's shuffled index matrix — the only per-epoch host→device transfer is
+# that [steps, batch_slots] int32 matrix. This removes host packing (seconds
+# per epoch) from the training path entirely.
+
+
+@dataclasses.dataclass
+class DenseDataset:
+    """All graphs of a dataset in dense form (device pytree after
+    jax.device_put). Row g holds graph g; gather with an index vector to
+    form a batch."""
+
+    x: np.ndarray  # [G, n_tile, F]
+    adj: np.ndarray  # [G, n_tile, n_tile]
+    node_mask: np.ndarray  # [G, n_tile]
+    y: np.ndarray  # [G]
+
+
+jtu.register_pytree_node(
+    DenseDataset,
+    lambda d: ((d.x, d.adj, d.node_mask, d.y), None),
+    lambda aux, ch: DenseDataset(*ch),
+)
+
+
+def build_dense_dataset(dataset: GraphSet, n_tile: int) -> DenseDataset:
+    """One-time dense materialization of every graph (host side)."""
+    g = dataset.num_graphs
+    batch = pack_dense_batch(dataset, np.arange(g), n_tile, g)
+    return DenseDataset(
+        x=batch.x, adj=batch.adj, node_mask=batch.node_mask, y=batch.y
+    )
+
+
+def dense_dataset_bytes(dataset: GraphSet, n_tile: int) -> int:
+    return dataset.num_graphs * n_tile * (n_tile + dataset.num_features + 1) * 4
+
+
+def order_matrix(order: np.ndarray, batch_size: int, batch_slots: int) -> np.ndarray:
+    """Epoch index matrix [steps, batch_slots]; −1 marks padded slots.
+    Batches are consecutive `batch_size` slices of `order`, like the
+    reference loader (train.py:108-109)."""
+    order = np.asarray(order, dtype=np.int32)
+    steps = -(-len(order) // batch_size)
+    out = np.full((steps, batch_slots), -1, dtype=np.int32)
+    for s in range(steps):
+        chunk = order[s * batch_size : (s + 1) * batch_size]
+        out[s, : len(chunk)] = chunk
+    return out
+
+
+def gather_dense_batch(data: DenseDataset, idx) -> DenseGraphBatch:
+    """Device-side batch construction: gather graph rows by index (−1 →
+    masked padding slot). Traced inside the jitted epoch."""
+    import jax.numpy as jnp
+
+    valid = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    gm = valid.astype(jnp.float32)
+    return DenseGraphBatch(
+        x=data.x[safe],
+        adj=data.adj[safe],
+        node_mask=data.node_mask[safe] * gm[:, None],
+        y=data.y[safe] * valid.astype(data.y.dtype),
+        graph_mask=gm,
+        num_graphs=gm.sum().astype(jnp.int32),
+    )

@@ -28,14 +28,24 @@ import jax
 import numpy as np
 import optax
 
-from dgcnn_tpu.batching.dense import dense_epoch_bytes, dense_tile, pack_dense_epoch
+from dgcnn_tpu.batching.dense import (
+    build_dense_dataset,
+    dense_epoch_bytes,
+    dense_tile,
+    order_matrix,
+    pack_dense_epoch,
+)
 from dgcnn_tpu.batching.packer import compute_bucket, pack_epoch
 from dgcnn_tpu.config import Config
 from dgcnn_tpu.data.datasets import load_dataset
 from dgcnn_tpu.data.folds import get_folds
 from dgcnn_tpu.data.graphset import GraphSet
 from dgcnn_tpu.models.dgcnn import DGCNN, init_params, num_params
-from dgcnn_tpu.train.loop import make_eval_epoch, make_train_epoch
+from dgcnn_tpu.train.loop import (
+    make_dense_gather_epochs,
+    make_eval_epoch,
+    make_train_epoch,
+)
 from dgcnn_tpu.train.metrics import EventLog, FoldMetrics, write_overall_csv
 from dgcnn_tpu.utils.checkpoint import (
     checkpoint_exists,
@@ -109,6 +119,74 @@ def _completed_fold_accuracies(csv_path: str, num_epochs: int) -> Optional[Tuple
     return float(last[3]), float(last[4])
 
 
+class CooEngine:
+    """Epoch engine for the COO layout: host packing per epoch (pad-and-
+    bucket), jitted scan over the stacked batches."""
+
+    def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
+                 optimizer: optax.GradientTransformation):
+        self.cfg = cfg
+        self.dataset = dataset
+        bucket = compute_bucket(
+            dataset, cfg.batch_size, cfg.node_pad_multiple,
+            cfg.edge_pad_multiple, cfg.graph_pad_multiple,
+        )
+        self._pack = lambda ds, order: pack_epoch(ds, order, cfg.batch_size, bucket)
+        self._train = make_train_epoch(model, optimizer, cfg.spmm_impl)
+        self._eval = make_eval_epoch(model, cfg.spmm_impl)
+
+    def begin_fold(self, train_idx: np.ndarray, test_idx: np.ndarray) -> None:
+        self._train_set = self.dataset.subset(train_idx)
+        test_set = self.dataset.subset(test_idx)
+        # test batches never reshuffle (reference train.py:109: shuffle=False)
+        self._test_batches = jax.device_put(
+            self._pack(test_set, np.arange(test_set.num_graphs))
+        )
+
+    def train_epoch(self, params, opt_state, rng, perm: np.ndarray):
+        batches = self._pack(self._train_set, perm)
+        return self._train(params, opt_state, rng, batches)
+
+    def eval_test(self, params):
+        return self._eval(params, self._test_batches)
+
+
+class DenseEngine:
+    """Epoch engine for the dense layout: the whole dataset lives on device
+    in dense form (batching/dense.py DenseDataset); an epoch ships only the
+    shuffled [steps, slots] index matrix and batches are gathered on
+    device."""
+
+    def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
+                 optimizer: optax.GradientTransformation):
+        self.cfg = cfg
+        n_tile = dense_tile(dataset)
+        self._slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
+        self._data = jax.device_put(build_dense_dataset(dataset, n_tile))
+        self._train, self._eval = make_dense_gather_epochs(model, optimizer)
+
+    def begin_fold(self, train_idx: np.ndarray, test_idx: np.ndarray) -> None:
+        self._train_idx = np.asarray(train_idx, dtype=np.int32)
+        self._test_order = jax.device_put(
+            order_matrix(test_idx, self.cfg.batch_size, self._slots)
+        )
+
+    def train_epoch(self, params, opt_state, rng, perm: np.ndarray):
+        order2d = order_matrix(
+            self._train_idx[perm], self.cfg.batch_size, self._slots
+        )
+        return self._train(params, opt_state, rng, self._data, order2d)
+
+    def eval_test(self, params):
+        return self._eval(params, self._data, self._test_order)
+
+
+def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
+                optimizer: optax.GradientTransformation, layout: str):
+    cls = DenseEngine if layout == "dense" else CooEngine
+    return cls(cfg, dataset, model, optimizer)
+
+
 def run_fold(
     cfg: Config,
     dataset: GraphSet,
@@ -116,46 +194,41 @@ def run_fold(
     fold_number: int,
     train_idx: np.ndarray,
     test_idx: np.ndarray,
-    pack_fn,
+    engine,
     events: EventLog,
     optimizer: optax.GradientTransformation,
-    train_epoch,
-    eval_epoch,
 ) -> FoldMetrics:
-    """One fold. `train_epoch`/`eval_epoch` are shared across folds so the
-    jitted programs compile once per shape, not once per fold."""
-    train_set = dataset.subset(train_idx)
-    test_set = dataset.subset(test_idx)
+    """One fold. The engine (and its jitted programs) is shared across folds
+    so compilation happens once per shape, not once per fold."""
+    n_train, n_test = len(train_idx), len(test_idx)
+    train_edges = int(dataset.subset(train_idx).total_edges)
+    engine.begin_fold(train_idx, test_idx)
 
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), fold_number)
     init_key, run_key = jax.random.split(key)
     params = init_params(init_key, model)
     opt_state = optimizer.init(params)
 
-    # test batches never reshuffle (reference train.py:109: shuffle=False)
-    test_batches = jax.device_put(pack_fn(test_set, np.arange(test_set.num_graphs)))
     shuffle_rng = np.random.default_rng(
         np.random.SeedSequence([cfg.seed, fold_number])
     )
 
     metrics = FoldMetrics()
-    train_edges = int(train_set.total_edges)
     for epoch in range(1, cfg.num_epochs + 1):
-        order = shuffle_rng.permutation(train_set.num_graphs)
-        batches = pack_fn(train_set, order)
+        perm = shuffle_rng.permutation(n_train)
 
         t0 = time.perf_counter()
-        params, opt_state, run_key, tr_loss, tr_correct = train_epoch(
-            params, opt_state, run_key, batches
+        params, opt_state, run_key, tr_loss, tr_correct = engine.train_epoch(
+            params, opt_state, run_key, perm
         )
-        te_loss, te_correct = eval_epoch(params, test_batches)
+        te_loss, te_correct = engine.eval_test(params)
         tr_loss, tr_correct, te_loss, te_correct = jax.device_get(
             (tr_loss, tr_correct, te_loss, te_correct)
         )
         dt = time.perf_counter() - t0
 
-        train_acc = float(tr_correct) / train_set.num_graphs * 100.0
-        test_acc = float(te_correct) / test_set.num_graphs * 100.0
+        train_acc = float(tr_correct) / n_train * 100.0
+        test_acc = float(te_correct) / n_test * 100.0
         metrics.append(tr_loss, te_loss, train_acc, test_acc)
         events.write(
             kind="epoch",
@@ -204,7 +277,6 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
 
     model = _model_from_config(cfg, dataset.num_features, dataset.num_classes)
     layout = choose_layout(cfg, dataset)
-    pack_fn = make_pack_fn(cfg, dataset, layout)
 
     fold_dir = cfg.fold_index_dir or os.path.join(
         cfg.data_root, cfg.data_type, "10fold_idx"
@@ -229,8 +301,7 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
     optimizer = optax.adam(
         cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps
     )
-    train_epoch = make_train_epoch(model, optimizer, cfg.spmm_impl)
-    eval_epoch = make_eval_epoch(model, cfg.spmm_impl)
+    engine = make_engine(cfg, dataset, model, optimizer, layout)
 
     train_accs, test_accs = [], []
     for fold_number, (train_idx, test_idx) in enumerate(folds, start=1):
@@ -248,8 +319,8 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
 
         t0 = time.perf_counter()
         metrics = run_fold(
-            cfg, dataset, model, fold_number, train_idx, test_idx, pack_fn,
-            events, optimizer, train_epoch, eval_epoch,
+            cfg, dataset, model, fold_number, train_idx, test_idx, engine,
+            events, optimizer,
         )
         dt = time.perf_counter() - t0
         train_accs.append(metrics.last("train_accuracy"))

@@ -98,3 +98,56 @@ def make_eval_epoch(model: DGCNN, spmm_impl: str = "xla") -> Callable:
         return losses.mean(), corrects.sum()
 
     return eval_epoch
+
+
+def make_dense_gather_epochs(
+    model: DGCNN, optimizer: optax.GradientTransformation
+) -> Tuple[Callable, Callable]:
+    """Epoch runners over a device-resident DenseDataset
+    (batching/dense.py): batches are gathered ON DEVICE from the epoch's
+    shuffled index matrix, so the host ships [steps, slots] int32 per epoch
+    and nothing else. Returns (train_epoch, eval_epoch):
+
+        train_epoch(params, opt_state, rng, data, order2d)
+            → (params, opt_state, rng, mean_loss, correct)
+        eval_epoch(params, data, order2d) → (mean_loss, correct)
+    """
+    from dgcnn_tpu.batching.dense import gather_dense_batch
+
+    def train_step(data):
+        def step(carry, idx_row):
+            params, opt_state, rng = carry
+            rng, dropout_rng = jax.random.split(rng)
+            batch = gather_dense_batch(data, idx_row)
+
+            def loss_fn(p):
+                lp = apply(
+                    p, model, batch, deterministic=False, dropout_rng=dropout_rng
+                )
+                return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, correct)
+
+        return step
+
+    @jax.jit
+    def train_epoch(params, opt_state, rng, data, order2d):
+        (params, opt_state, rng), (losses, corrects) = jax.lax.scan(
+            train_step(data), (params, opt_state, rng), order2d
+        )
+        return params, opt_state, rng, losses.mean(), corrects.sum()
+
+    @jax.jit
+    def eval_epoch(params, data, order2d):
+        def body(carry, idx_row):
+            batch = gather_dense_batch(data, idx_row)
+            lp = apply(params, model, batch, deterministic=True)
+            return carry, nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+        _, (losses, corrects) = jax.lax.scan(body, None, order2d)
+        return losses.mean(), corrects.sum()
+
+    return train_epoch, eval_epoch
