@@ -1,18 +1,18 @@
-"""Headline benchmark: training-throughput edges/s on the NCI1 workload.
+"""Headline benchmark: training-throughput edges/s on NCI1 + COLLAB
+(the BASELINE.json metric: "edges/s/chip on NCI1+COLLAB").
 
 Protocol: full training epochs (forward + backward + Adam update, batch 50,
-identical model/loss to the reference protocol) over the NCI1-profile
-dataset; throughput = real graph edges consumed per wall-clock second.
+identical model/loss to the reference protocol) on each dataset via the
+framework-default path (device-resident dense layout, on-device batch
+gather — what train/cv.py actually runs); headline value = total edges of
+one NCI1 epoch + one COLLAB epoch divided by their summed wall-clock.
+The COO paths (XLA segment-sum and the Pallas gather-scatter kernel) are
+measured on NCI1 and reported on stderr.
 
-Three aggregation paths are measured — dense MXU adjacency blocks (the
-TPU-native layout, default for small-graph datasets), XLA COO SpMM, and the
-Pallas gather-scatter COO kernel — and the framework-default (dense) is
-the headline.
-
-Baseline: the reference publishes 61.04 s per NCI1 training epoch on a GTX
-1070 (reference README.md:128-138; mirrored in BASELINE.md). It publishes
-no throughput numbers, so the edges/s baseline is *derived* (BASELINE.md
-note): the same epoch's edge count divided by the published time.
+Baseline: the reference publishes per-epoch GTX-1070 training times
+(NCI1 61.04 s, COLLAB 202.65 s — reference README.md:128-138, mirrored in
+BASELINE.md) and no throughput numbers, so the edges/s baseline is
+*derived*: the same epochs' edge count divided by the published times.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
@@ -28,110 +28,145 @@ import numpy as np
 
 
 def _time_epochs(run_one_epoch, reps=5):
-    """`run_one_epoch(rep) -> jax value`; times each rep after a warm-up.
-    Callers vary their inputs per rep — repeated identical dispatches can be
-    cached by the device transport and report fantasy numbers."""
-    import jax
-
-    jax.block_until_ready(run_one_epoch(-1))  # warm-up / compile
+    """`run_one_epoch(rep) -> jax scalar`; times each rep after a warm-up.
+    Two transport gotchas (remote-attached TPU): identical dispatches can be
+    served from a cache (callers vary inputs per rep), and block_until_ready
+    can return before remote execution finishes — so each rep is fenced by
+    an actual D2H value fetch, which cannot complete early."""
+    t0 = time.perf_counter()
+    float(run_one_epoch(-1))  # warm-up / compile
+    warm = time.perf_counter() - t0
     times = []
     for r in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(run_one_epoch(r))
+        float(run_one_epoch(r))
         times.append(time.perf_counter() - t0)
+    # subtract nothing: the fetch round-trip is part of honest wall-clock,
+    # but use min over reps to shed scheduler noise
+    del warm
     return min(times), times
 
 
-def main():
-    import jax
-    import optax
+# per-epoch GTX-1070 training seconds (reference README.md:128-138)
+REFERENCE_EPOCH_SECONDS = {"NCI1": 61.04, "COLLAB": 202.65}
 
-    from dgcnn_tpu.batching import compute_bucket, pack_epoch
-    from dgcnn_tpu.batching.dense import (
-        build_dense_dataset,
-        dense_tile,
-        order_matrix,
-    )
+
+def _train_split(name):
     from dgcnn_tpu.data.datasets import load_dataset
-    from dgcnn_tpu.models.dgcnn import DGCNN, init_params
-    from dgcnn_tpu.train.loop import make_dense_gather_epochs, make_train_epoch
 
-    # real data when present under data/, synthetic NCI1 profile otherwise
-    gs, meta = load_dataset("NCI1", allow_download=False, allow_synthetic=True)
-
+    gs, meta = load_dataset(name, allow_download=False, allow_synthetic=True)
     # fold-1-style 90% train split, like one CV fold (train.py:103-109)
     rng = np.random.default_rng(324)
     perm = rng.permutation(gs.num_graphs)
-    train = gs.subset(perm[: int(gs.num_graphs * 0.9)])
+    return gs.subset(perm[: int(gs.num_graphs * 0.9)]), meta
+
+
+def _bench_dense(train):
+    """Time the framework-default path: device-resident dense dataset with
+    on-device batch gather (train/cv.py DenseEngine)."""
+    import jax
+    import optax
+
+    from dgcnn_tpu.batching.dense import build_dense_dataset, dense_tile, order_matrix
+    from dgcnn_tpu.models.dgcnn import DGCNN, init_params
+    from dgcnn_tpu.train.loop import make_dense_gather_epochs
 
     model = DGCNN(num_features=train.num_features, num_classes=train.num_classes)
     params = init_params(jax.random.PRNGKey(324), model)
     optimizer = optax.adam(1e-3)
-    opt_state = optimizer.init(params)
-    order = np.arange(train.num_graphs)
-
-    # epoch edge count: self-loops are stripped at pack time; every real
-    # (directed) edge is aggregated once per epoch per GCN stack pass.
-    bucket = compute_bucket(train, 50)
-    coo_batches = jax.device_put(pack_epoch(train, order, 50, bucket))
-    epoch_edges = float(np.asarray(coo_batches.edge_mask).sum())
-    shuffle = np.random.default_rng(7)
-
-    results = {}
-
-    # headline path: device-resident dense dataset, on-device batch gather —
-    # exactly what the CV driver runs for NCI1 (train/cv.py DenseEngine).
+    state = {"p": params, "s": optimizer.init(params), "k": jax.random.PRNGKey(0)}
     data = jax.device_put(build_dense_dataset(train, dense_tile(train)))
     dense_train, _ = make_dense_gather_epochs(model, optimizer)
-    state = {"p": params, "s": opt_state, "k": jax.random.PRNGKey(0)}
+    shuffle = np.random.default_rng(7)
 
-    def dense_epoch(_):
+    def one_epoch(_):
         order2d = order_matrix(shuffle.permutation(train.num_graphs), 50, 56)
         state["p"], state["s"], state["k"], loss, _ = dense_train(
             state["p"], state["s"], state["k"], data, order2d
         )
         return loss
 
-    results["dense_gather"] = _time_epochs(dense_epoch)
+    return _time_epochs(one_epoch)
 
+
+def _bench_coo(train, impl):
+    import jax
+    import optax
+
+    from dgcnn_tpu.batching import compute_bucket, pack_epoch
+    from dgcnn_tpu.models.dgcnn import DGCNN, init_params
+    from dgcnn_tpu.train.loop import make_train_epoch
+
+    model = DGCNN(num_features=train.num_features, num_classes=train.num_classes)
+    params = init_params(jax.random.PRNGKey(324), model)
+    optimizer = optax.adam(1e-3)
+    bucket = compute_bucket(train, 50)
+    batches = jax.device_put(
+        pack_epoch(train, np.arange(train.num_graphs), 50, bucket)
+    )
+    coo_train = make_train_epoch(model, optimizer, spmm_impl=impl)
+    st = {"p": params, "s": optimizer.init(params), "k": jax.random.PRNGKey(0)}
+
+    def one_epoch(_):
+        st["p"], st["s"], st["k"], loss, _ = coo_train(
+            st["p"], st["s"], st["k"], batches
+        )
+        return loss
+
+    return _time_epochs(one_epoch)
+
+
+def _epoch_edges(train):
+    # self-loops are stripped at pack time; count edges actually aggregated
+    counts = train.edge_counts()
+    self_loops = sum(
+        int((train.edge_src[s:e] == train.edge_dst[s:e]).sum())
+        for s, e in zip(train.edge_ptr[:-1], train.edge_ptr[1:])
+    )
+    return float(counts.sum() - self_loops)
+
+
+def main():
+    detail, sources = {}, {}
+    total_edges = total_time = base_time = 0.0
+
+    for name in ("NCI1", "COLLAB"):
+        train, meta = _train_split(name)
+        edges = _epoch_edges(train)
+        best, _times = _bench_dense(train)
+        detail[name] = {
+            "epoch_ms": round(best * 1e3, 2),
+            "edges_per_s": round(edges / best, 1),
+            "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
+        }
+        sources[name] = meta.source
+        total_edges += edges
+        total_time += best
+        base_time += REFERENCE_EPOCH_SECONDS[name]
+
+    # COO kernel comparison on NCI1 (stderr only)
+    nci1_train, _ = _train_split("NCI1")
+    nci1_edges = _epoch_edges(nci1_train)
     for impl in ("xla", "pallas"):
-        coo_train = make_train_epoch(model, optimizer, spmm_impl=impl)
-        st = {"p": params, "s": opt_state, "k": jax.random.PRNGKey(0)}
+        best, _times = _bench_coo(nci1_train, impl)
+        detail[f"NCI1_coo_{impl}"] = {
+            "epoch_ms": round(best * 1e3, 2),
+            "edges_per_s": round(nci1_edges / best, 1),
+        }
 
-        def coo_epoch(_):
-            st["p"], st["s"], st["k"], loss, _ = coo_train(
-                st["p"], st["s"], st["k"], coo_batches
-            )
-            return loss
-
-        results[f"coo_{impl}"] = _time_epochs(coo_epoch)
-
-    headline = results["dense_gather"][0]
-    edges_per_s = epoch_edges / headline
-    # derived GTX-1070 baseline: same epoch's edges / published 61.04 s
-    baseline = epoch_edges / 61.04
-
+    value = total_edges / total_time
+    baseline = total_edges / base_time  # derived GTX-1070 edges/s
     print(
         json.dumps(
             {
-                "metric": "train_edges_per_s_per_chip_nci1",
-                "value": round(edges_per_s, 1),
+                "metric": "train_edges_per_s_per_chip_nci1_collab",
+                "value": round(value, 1),
                 "unit": "edges/s",
-                "vs_baseline": round(edges_per_s / baseline, 2),
+                "vs_baseline": round(value / baseline, 2),
             }
         )
     )
-    detail = {
-        k: {
-            "epoch_ms": round(v[0] * 1e3, 2),
-            "edges_per_s": round(epoch_edges / v[0], 1),
-        }
-        for k, v in results.items()
-    }
-    print(
-        f"# data={meta.source} epoch_edges={epoch_edges:.0f} paths={json.dumps(detail)}",
-        file=sys.stderr,
-    )
+    print(f"# sources={sources} paths={json.dumps(detail)}", file=sys.stderr)
 
 
 if __name__ == "__main__":

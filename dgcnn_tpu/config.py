@@ -68,7 +68,8 @@ class Config:
     # graph and the stacked-epoch footprint allow it.
     layout: str = "auto"
     dense_max_nodes: int = 2048
-    dense_max_epoch_bytes: int = 2_000_000_000
+    # device-HBM budget for the resident DenseDataset (v5e has 16 GB)
+    dense_max_device_bytes: int = 8_000_000_000
     # COO aggregation kernel: "xla" = jnp.take + segment_sum;
     # "pallas" = Pallas gather-scatter SpMM.
     spmm_impl: str = "xla"

@@ -30,7 +30,7 @@ import optax
 
 from dgcnn_tpu.batching.dense import (
     build_dense_dataset,
-    dense_epoch_bytes,
+    dense_dataset_bytes,
     dense_tile,
     order_matrix,
     pack_dense_epoch,
@@ -73,16 +73,15 @@ def _round_up(x: int, m: int) -> int:
 
 def choose_layout(cfg: Config, dataset: GraphSet) -> str:
     """Pick the batch layout (Config.layout docstring): dense MXU blocks
-    when the dataset's largest graph and the stacked-epoch footprint fit,
-    else the COO/SpMM path (e.g. D&D's 5.7k-node outliers)."""
+    when the dataset's largest graph and the device-resident footprint
+    (batching/dense.py DenseDataset — the gather engine never stacks whole
+    epochs) fit, else the COO/SpMM path (D&D's 5.7k-node outliers)."""
     if cfg.layout != "auto":
         return cfg.layout
     n_tile = dense_tile(dataset)
-    slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
     if (
         n_tile <= cfg.dense_max_nodes
-        and dense_epoch_bytes(dataset, cfg.batch_size, n_tile, slots)
-        <= cfg.dense_max_epoch_bytes
+        and dense_dataset_bytes(dataset, n_tile) <= cfg.dense_max_device_bytes
     ):
         return "dense"
     return "coo"
