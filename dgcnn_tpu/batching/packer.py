@@ -186,13 +186,25 @@ def pack_epoch(
     order: np.ndarray,
     batch_size: int,
     bucket: BucketSpec,
+    backend: str = "auto",
 ) -> GraphBatch:
     """Pack an epoch's worth of batches, stacked on a leading axis for
     `lax.scan`. `order` is the (possibly shuffled) sequence of graph indices;
     batches are consecutive slices of `batch_size`, with the final ragged
     batch padded — mirroring the reference loader's batch composition
-    (reference train.py:108-109, drop_last=False)."""
+    (reference train.py:108-109, drop_last=False).
+
+    `backend`: "native" = C++ packer (native/packer.cc), "numpy" = this
+    module, "auto" = native when buildable, identical output either way."""
     order = np.asarray(order, dtype=np.int64)
+    if backend in ("auto", "native"):
+        from dgcnn_tpu import native
+
+        out = native.pack_epoch_native(dataset, order, batch_size, bucket)
+        if out is not None:
+            return out
+        if backend == "native":
+            raise RuntimeError("native packer requested but unavailable")
     batches = [
         pack_batch(dataset, order[i : i + batch_size], bucket)
         for i in range(0, len(order), batch_size)
