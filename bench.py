@@ -154,6 +154,18 @@ def main():
             "edges_per_s": round(nci1_edges / best, 1),
         }
 
+    # isolated SpMM %-of-SoL on NCI1 mega-batch shapes (BASELINE metric)
+    from dgcnn_tpu.utils.profiling import spmm_microbench
+
+    for impl in ("xla", "pallas"):
+        r = spmm_microbench(num_nodes=1792, num_features=32, num_edges=7168,
+                            impl=impl)
+        detail[f"spmm_{impl}"] = {
+            "us_per_op": round(r["us_per_op"], 1),
+            "achieved_gbps": round(r["achieved_gbps"], 2),
+            "pct_of_sol": round(r["pct_of_sol"], 2),
+        }
+
     value = total_edges / total_time
     baseline = total_edges / base_time  # derived GTX-1070 edges/s
     print(

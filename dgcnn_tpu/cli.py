@@ -29,6 +29,9 @@ def get_args(argv=None):
                         help="directory with {train,test}_idx-<k>.txt fold files")
     parser.add_argument("--layout", default="auto", choices=["auto", "coo", "dense"],
                         help="batch layout: dense MXU adjacency blocks or COO+SpMM")
+    parser.add_argument("--mesh", default="1,1", type=str,
+                        help="device mesh 'data,graph' (e.g. 4,2 = 4-way data "
+                             "parallel x 2-way edge-partitioned)")
     parser.add_argument("--spmm", default="xla", choices=["xla", "pallas"],
                         help="COO SpMM kernel implementation")
     parser.add_argument("--synthetic", action="store_true",
@@ -51,6 +54,7 @@ def main(argv=None):
         data_root=opt.data_root,
         fold_index_dir=opt.fold_dir,
         layout=opt.layout,
+        mesh_shape=tuple(int(v) for v in opt.mesh.split(",")),
         spmm_impl=opt.spmm,
         checkpoint_resume=opt.resume,
         log_every=opt.log_every,

@@ -125,6 +125,81 @@ def make_dp_eval_epoch(model: DGCNN, mesh: Mesh, spmm_impl: str = "xla") -> Call
     return eval_epoch
 
 
+def make_dense_dp_epochs(model: DGCNN, optimizer: optax.GradientTransformation,
+                         mesh: Mesh):
+    """Data-parallel epoch runners over a REPLICATED device-resident
+    DenseDataset: each "data"-axis device gathers its own sub-batch rows
+    from the epoch's index matrix slice and computes its shard of the
+    global batch; psum(loss_sum)/psum(count) preserves exact global-batch
+    semantics (the graph axis is unused — dense propagation is a batched
+    matmul, already MXU-parallel).
+
+        train_epoch(params, opt_state, rng, data, order3d)
+            with order3d [steps, n_data, slots]
+        eval_epoch(params, data, order3d)
+    """
+    from dgcnn_tpu.batching.dense import gather_dense_batch
+
+    def shard_loss(deterministic):
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P()),
+            out_specs=(P(), P()),
+        )
+        def f(params, data, idx_row, rng):
+            batch = gather_dense_batch(data, idx_row[0])
+            dropout_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            lp = apply(
+                params,
+                model,
+                batch,
+                deterministic=deterministic,
+                dropout_rng=None if deterministic else dropout_rng,
+            )
+            loss_sum, correct = _loss_terms(lp, batch.y, batch.graph_mask)
+            total = jnp.maximum(jax.lax.psum(batch.graph_mask.sum(), "data"), 1.0)
+            loss = jax.lax.psum(loss_sum, "data") / total
+            correct = jax.lax.psum(correct, "data")
+            # the graph axis never sees varying data here; pmean is the
+            # replication proof for check_vma, numerically a no-op
+            return jax.lax.pmean(loss, "graph"), jax.lax.pmean(correct, "graph")
+
+        return f
+
+    train_loss = shard_loss(deterministic=False)
+    eval_loss = shard_loss(deterministic=True)
+
+    @jax.jit
+    def train_epoch(params, opt_state, rng, data, order3d):
+        def step(carry, idx_rows):
+            params, opt_state, rng = carry
+            rng, sub = jax.random.split(rng)
+            (loss, correct), grads = jax.value_and_grad(
+                lambda p: train_loss(p, data, idx_rows, sub), has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, correct)
+
+        (params, opt_state, rng), (losses, corrects) = jax.lax.scan(
+            step, (params, opt_state, rng), order3d
+        )
+        return params, opt_state, rng, losses.mean(), corrects.sum()
+
+    @jax.jit
+    def eval_epoch(params, data, order3d):
+        dummy = jax.random.PRNGKey(0)
+
+        def body(carry, idx_rows):
+            return carry, eval_loss(params, data, idx_rows, dummy)
+
+        _, (losses, corrects) = jax.lax.scan(body, None, order3d)
+        return losses.mean(), corrects.sum()
+
+    return train_epoch, eval_epoch
+
+
 def device_put_epoch(batches, mesh: Mesh):
     """Place a packed epoch on the mesh with the canonical shardings."""
     specs = batch_pspecs(scan_axis=True)

@@ -180,9 +180,101 @@ class DenseEngine:
         return self._eval(params, self._data, self._test_order)
 
 
+class MeshCooEngine:
+    """Mesh-sharded COO engine: data parallelism over LPT-balanced
+    sub-batches × edge-partitioned aggregation (parallel/train_dp.py).
+    Exact global-batch loss/gradients — the training protocol is identical
+    to single-chip (tests/test_parallel.py)."""
+
+    def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
+                 optimizer: optax.GradientTransformation):
+        from dgcnn_tpu.parallel import (
+            make_dp_eval_epoch,
+            make_dp_train_epoch,
+            make_mesh,
+            pack_epoch_dp,
+            shard_bucket,
+        )
+        from dgcnn_tpu.parallel.train_dp import device_put_epoch
+
+        self.cfg = cfg
+        self.dataset = dataset
+        n_data, n_graph = cfg.mesh_shape
+        self.mesh = make_mesh(cfg.mesh_shape)
+        bucket = shard_bucket(
+            dataset, cfg.batch_size, n_data,
+            cfg.node_pad_multiple, cfg.edge_pad_multiple,
+            cfg.graph_pad_multiple, n_graph,
+        )
+        self._pack = lambda ds, order: device_put_epoch(
+            pack_epoch_dp(ds, order, cfg.batch_size, bucket, n_data, n_graph),
+            self.mesh,
+        )
+        self._train = make_dp_train_epoch(model, optimizer, self.mesh, cfg.spmm_impl)
+        self._eval = make_dp_eval_epoch(model, self.mesh, cfg.spmm_impl)
+
+    def begin_fold(self, train_idx, test_idx):
+        self._train_set = self.dataset.subset(train_idx)
+        test_set = self.dataset.subset(test_idx)
+        self._test_batches = self._pack(test_set, np.arange(test_set.num_graphs))
+
+    def train_epoch(self, params, opt_state, rng, perm):
+        return self._train(params, opt_state, rng, self._pack(self._train_set, perm))
+
+    def eval_test(self, params):
+        return self._eval(params, self._test_batches)
+
+
+class MeshDenseEngine:
+    """Mesh-sharded dense engine: the DenseDataset is replicated across the
+    mesh and each data-axis device gathers its round-robin share of every
+    batch on device (parallel/train_dp.py make_dense_dp_epochs)."""
+
+    def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
+                 optimizer: optax.GradientTransformation):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dgcnn_tpu.batching.dense import order_matrix_dp
+        from dgcnn_tpu.parallel import make_mesh
+        from dgcnn_tpu.parallel.train_dp import make_dense_dp_epochs
+
+        self.cfg = cfg
+        self.n_data = cfg.mesh_shape[0]
+        self.mesh = make_mesh(cfg.mesh_shape)
+        self._slots = max(
+            1, -(-cfg.batch_size // self.n_data)
+        )
+        n_tile = dense_tile(dataset)
+        self._data = jax.device_put(
+            build_dense_dataset(dataset, n_tile),
+            NamedSharding(self.mesh, P()),
+        )
+        self._order_sharding = NamedSharding(self.mesh, P(None, "data"))
+        self._order = lambda idx: jax.device_put(
+            order_matrix_dp(idx, cfg.batch_size, self.n_data, self._slots),
+            self._order_sharding,
+        )
+        self._train, self._eval = make_dense_dp_epochs(model, optimizer, self.mesh)
+
+    def begin_fold(self, train_idx, test_idx):
+        self._train_idx = np.asarray(train_idx, dtype=np.int32)
+        self._test_order = self._order(test_idx)
+
+    def train_epoch(self, params, opt_state, rng, perm):
+        return self._train(
+            params, opt_state, rng, self._data, self._order(self._train_idx[perm])
+        )
+
+    def eval_test(self, params):
+        return self._eval(params, self._data, self._test_order)
+
+
 def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
                 optimizer: optax.GradientTransformation, layout: str):
-    cls = DenseEngine if layout == "dense" else CooEngine
+    if cfg.mesh_shape != (1, 1):
+        cls = MeshDenseEngine if layout == "dense" else MeshCooEngine
+    else:
+        cls = DenseEngine if layout == "dense" else CooEngine
     return cls(cfg, dataset, model, optimizer)
 
 

@@ -1,0 +1,110 @@
+"""Profiling utilities: jax.profiler tracing and speed-of-light accounting.
+
+The reference has no tracing/profiling at all (SURVEY §5 row 1). Here:
+  * `trace(logdir)` wraps `jax.profiler` for TensorBoard-compatible device
+    traces;
+  * HBM speed-of-light accounting for the SpMM (the BASELINE "%-of-SoL"
+    metric): the kernel's unavoidable HBM traffic divided by measured time
+    against the chip's peak bandwidth;
+  * `spmm_microbench` times an aggregation kernel in an on-device
+    dependency chain (single dispatch, D2H-fenced — see
+    .claude/skills/verify/SKILL.md for why both matter on this transport).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict
+
+import numpy as np
+
+# TPU v5e (lite) peak HBM bandwidth, GB/s
+V5E_HBM_GBPS = 819.0
+_LANES = 128
+
+
+def _lane_padded(f: int) -> int:
+    return -(-f // _LANES) * _LANES
+
+
+def spmm_hbm_bytes(num_nodes: int, num_features: int, num_edges: int) -> int:
+    """Minimum HBM traffic of one gather-scale-scatter SpMM pass, assuming
+    the feature block is HBM-read once and VMEM-resident thereafter
+    (kernels/spmm_pallas.py design): edge stream (src,dst,w = 12 B/edge) +
+    one read of h + one write of out. Random row gathers that *miss* VMEM
+    would add E·row_bytes; this is the speed-of-light floor."""
+    fpad = _lane_padded(num_features)
+    return num_edges * 12 + 2 * num_nodes * fpad * 4
+
+
+def pct_of_sol(bytes_moved: int, seconds: float, peak_gbps: float = V5E_HBM_GBPS) -> float:
+    if seconds <= 0:
+        return 0.0
+    return (bytes_moved / seconds) / (peak_gbps * 1e9) * 100.0
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Device trace context (view in TensorBoard / xprof)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def spmm_microbench(
+    num_nodes: int = 2048,
+    num_features: int = 32,
+    num_edges: int = 8192,
+    impl: str = "xla",
+    iters: int = 100,
+    reps: int = 5,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Isolated SpMM timing on realistic shapes: an on-device sequential
+    chain of `iters` applications inside one jit (amortizes dispatch), each
+    rep re-fed with perturbed inputs and fenced by a value fetch. Returns
+    seconds/op, achieved GB/s, and %-of-SoL."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.ops.spmm import spmm
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, num_nodes, num_edges).astype(np.int32)
+    dst = np.sort(rng.integers(0, num_nodes, num_edges)).astype(np.int32)
+    w = (rng.random(num_edges).astype(np.float32) - 0.5) * 0.01
+    h0 = rng.normal(size=(num_nodes, num_features)).astype(np.float32) * 0.01
+
+    @jax.jit
+    def chain(src, dst, w, h):
+        def body(_, acc):
+            return jnp.tanh(spmm(src, dst, w, acc, acc.shape[0], impl=impl))
+
+        return jax.lax.fori_loop(0, iters, body, h).sum()
+
+    src, dst, w = jnp.array(src), jnp.array(dst), jnp.array(w)
+    float(chain(src, dst, w, jnp.array(h0)))  # compile
+    times = []
+    for r in range(reps):
+        hr = jnp.array(h0 + r * 1e-4)
+        t0 = time.perf_counter()
+        float(chain(src, dst, w, hr))
+        times.append(time.perf_counter() - t0)
+
+    per_op = min(times) / iters
+    bytes_moved = spmm_hbm_bytes(num_nodes, num_features, num_edges)
+    return {
+        "impl": impl,
+        "num_nodes": num_nodes,
+        "num_features": num_features,
+        "num_edges": num_edges,
+        "us_per_op": per_op * 1e6,
+        "edges_per_s": num_edges / per_op,
+        "achieved_gbps": bytes_moved / per_op / 1e9,
+        "pct_of_sol": pct_of_sol(bytes_moved, per_op),
+    }
