@@ -39,6 +39,8 @@ def get_args(argv=None):
                              "real dataset is unavailable offline")
     parser.add_argument("--resume", action="store_true",
                         help="resume a partially completed 10-fold run")
+    parser.add_argument("--ckpt_every", default=0, type=int,
+                        help="save an in-flight resume bundle every N epochs")
     parser.add_argument("--log_every", default=0, type=int,
                         help="print metrics every N epochs (0 = per-fold only)")
     return parser.parse_args(argv)
@@ -57,6 +59,7 @@ def main(argv=None):
         mesh_shape=tuple(int(v) for v in opt.mesh.split(",")),
         spmm_impl=opt.spmm,
         checkpoint_resume=opt.resume,
+        checkpoint_every=opt.ckpt_every,
         log_every=opt.log_every,
     )
     return run_cross_validation(cfg, allow_synthetic=opt.synthetic)

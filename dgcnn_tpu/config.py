@@ -86,6 +86,9 @@ class Config:
     epochs_dir: str = "epochs"
     statistics_dir: str = "statistics"
     checkpoint_resume: bool = False
+    # save an in-flight (params, opt_state, rng, epoch, metrics) bundle
+    # every N epochs so --resume restarts mid-fold; 0 = fold-level only
+    checkpoint_every: int = 0
     log_every: int = 0  # epochs between stdout metric lines; 0 = silent
 
     def __post_init__(self):

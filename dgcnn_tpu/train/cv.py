@@ -305,7 +305,31 @@ def run_fold(
     )
 
     metrics = FoldMetrics()
-    for epoch in range(1, cfg.num_epochs + 1):
+    inflight = os.path.join(
+        cfg.epochs_dir, f"{cfg.data_type}_{fold_number}_inflight"
+    )
+    start_epoch = 1
+    if cfg.checkpoint_resume and checkpoint_exists(inflight):
+        like = {
+            "params": params,
+            "opt_state": opt_state,
+            "rng": run_key,
+            "epoch": np.int64(0),
+            "metrics": {c: np.zeros(0) for c in FoldMetrics.COLUMNS},
+        }
+        bundle = load_checkpoint(inflight, like)
+        params, opt_state = bundle["params"], bundle["opt_state"]
+        run_key = jax.numpy.asarray(bundle["rng"])
+        start_epoch = int(bundle["epoch"]) + 1
+        metrics.rows = {c: list(map(float, bundle["metrics"][c]))
+                        for c in FoldMetrics.COLUMNS}
+        # replay the shuffle stream so epoch k sees the same permutation it
+        # would have in an uninterrupted run
+        for _ in range(start_epoch - 1):
+            shuffle_rng.permutation(n_train)
+        print(f"[fold {fold_number}] resumed at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
         perm = shuffle_rng.permutation(n_train)
 
         t0 = time.perf_counter()
@@ -338,6 +362,19 @@ def run_fold(
                 f"train {tr_loss:.4f}/{train_acc:.2f}% "
                 f"test {te_loss:.4f}/{test_acc:.2f}% ({dt:.2f}s)"
             )
+        if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
+            save_checkpoint(
+                inflight,
+                {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "rng": np.asarray(run_key),
+                    "epoch": np.int64(epoch),
+                    "metrics": {
+                        c: np.asarray(metrics.rows[c]) for c in FoldMetrics.COLUMNS
+                    },
+                },
+            )
 
     # per-fold artifacts (reference train.py:129-131)
     save_checkpoint(
@@ -347,6 +384,11 @@ def run_fold(
     metrics.to_csv(
         os.path.join(cfg.statistics_dir, f"{cfg.data_type}_results_{fold_number}.csv")
     )
+    for suffix in (".npz", ".treedef.json"):
+        try:
+            os.remove(inflight + suffix)
+        except OSError:
+            pass
     return metrics
 
 
@@ -426,6 +468,12 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
         train_accs,
         test_accs,
     )
+    try:  # visdom-replacement curves (reference train.py:122-125)
+        from dgcnn_tpu.train.plots import render_curves
+
+        render_curves(cfg.statistics_dir, cfg.data_type)
+    except Exception as e:  # plotting is best-effort observability
+        print(f"(curve rendering skipped: {e})")
     tr, te = np.array(train_accs), np.array(test_accs)
     # same summary line format as reference train.py:146-148
     print(
