@@ -1,0 +1,133 @@
+"""Dataset loading: cache → raw TU files → download → synthetic fallback.
+
+The capability contract follows PyG's `TUDataset` (reference train.py:81-87):
+a one-time parse of the raw TU text files is cached as processed arrays
+(npz instead of torch tensors), and subsequent loads skip parsing
+(SURVEY §3.5). Layout, shared with PyG so a user can drop in already-
+downloaded data:
+
+    <root>/<name>/raw/<name>_A.txt ...       raw TU text files
+    <root>/<name>/processed/<name>[...].npz  our cache (per use_node_attr)
+
+Offline behavior: with no raw files, no cache, and no network, callers can
+opt into the synthetic profile generator (`allow_synthetic=True`) which
+preserves every shape/feature contract — see data/synthetic.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import zipfile
+from typing import Optional, Tuple
+
+from dgcnn_tpu.data.graphset import GraphSet
+from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
+from dgcnn_tpu.data.tu_parser import parse_tu_dir
+
+# Published stats of the eight benchmarks (reference README.md:62-94;
+# num_features = attrs + one-hot label bins + 1 degree column, SURVEY §2d).
+DATASET_STATS = {
+    "MUTAG": dict(num_graphs=188, num_classes=2, num_features=8),
+    "PTC_MR": dict(num_graphs=344, num_classes=2, num_features=19),
+    "NCI1": dict(num_graphs=4110, num_classes=2, num_features=38),
+    "PROTEINS": dict(num_graphs=1113, num_classes=2, num_features=5),
+    "DD": dict(num_graphs=1178, num_classes=2, num_features=90),
+    "COLLAB": dict(num_graphs=5000, num_classes=3, num_features=1),
+    "IMDB-BINARY": dict(num_graphs=1000, num_classes=2, num_features=1),
+    "IMDB-MULTI": dict(num_graphs=1500, num_classes=3, num_features=1),
+}
+
+# TU-Dortmund graph-kernel collection (reference README.md:24-26)
+TU_URL = "https://www.chrsmrrs.com/graphkerneldatasets/{name}.zip"
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetMeta:
+    """Provenance of a loaded dataset."""
+
+    name: str
+    source: str  # "cache" | "raw" | "download" | "synthetic"
+    path: str = ""
+
+
+def _raw_dir(root: str, name: str) -> str:
+    return os.path.join(root, name, "raw")
+
+
+def _cache_path(root: str, name: str, use_node_attr: bool) -> str:
+    suffix = "" if use_node_attr else "_noattr"
+    return os.path.join(root, name, "processed", f"{name}{suffix}.npz")
+
+
+def _has_raw(raw: str, name: str) -> bool:
+    return all(
+        os.path.exists(os.path.join(raw, f"{name}_{s}.txt"))
+        for s in ("A", "graph_indicator", "graph_labels")
+    )
+
+
+def _download(root: str, name: str) -> bool:
+    """Fetch + extract the TU zip. Returns False on any network failure
+    (the build environment has zero egress; callers fall through)."""
+    import urllib.request
+
+    url = TU_URL.format(name=name)
+    zip_path = os.path.join(root, name, f"{name}.zip")
+    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r, open(zip_path, "wb") as f:
+            f.write(r.read())
+    except Exception:
+        return False
+    with zipfile.ZipFile(zip_path) as z:
+        # zips contain a top-level <name>/ directory with the txt files
+        extract_root = os.path.join(root, name, "_extract")
+        z.extractall(extract_root)
+    src = os.path.join(extract_root, name)
+    raw = _raw_dir(root, name)
+    os.makedirs(raw, exist_ok=True)
+    for fn in os.listdir(src):
+        os.replace(os.path.join(src, fn), os.path.join(raw, fn))
+    os.remove(zip_path)
+    return True
+
+
+def load_dataset(
+    name: str,
+    root: str = "data",
+    use_node_attr: bool = True,
+    allow_download: bool = True,
+    allow_synthetic: bool = False,
+) -> Tuple[GraphSet, DatasetMeta]:
+    """Load a benchmark dataset, preferring (in order) the processed cache,
+    raw TU files, a fresh download, and — only if explicitly allowed — the
+    synthetic profile generator."""
+    cache = _cache_path(root, name, use_node_attr)
+    if os.path.exists(cache):
+        return GraphSet.from_npz(cache), DatasetMeta(name, "cache", cache)
+
+    raw = _raw_dir(root, name)
+    source: Optional[str] = None
+    if _has_raw(raw, name):
+        source = "raw"
+    elif allow_download and _download(root, name):
+        source = "download"
+
+    if source is not None:
+        gs = parse_tu_dir(raw, name, use_node_attr=use_node_attr)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        gs.to_npz(cache)
+        return gs, DatasetMeta(name, source, raw)
+
+    if allow_synthetic:
+        return (
+            synthesize_tu_dataset(name),
+            DatasetMeta(name, "synthetic"),
+        )
+    raise FileNotFoundError(
+        f"dataset {name!r}: no cache at {cache}, no raw files at {raw}, and "
+        f"download unavailable. Place the TU files under {raw}/ (see "
+        f"data/tu_parser.py for the format) or pass allow_synthetic=True "
+        f"for profile-shaped synthetic data."
+    )

@@ -1,0 +1,68 @@
+"""Cross-validation fold indices.
+
+The reference vendors fixed 10-fold index files from muhanzhang/pytorch_DGCNN
+(`data/<DS>/10fold_idx/{train,test}_idx-<k>.txt`, one 0-based graph index
+per line) and loads them with `np.loadtxt` (reference train.py:103-106,
+README.md:26-27). We read the same files verbatim when present — required
+for accuracy-parity runs, since those folds are NOT an exact partition for
+MUTAG/PTC/PROTEINS/DD (SURVEY §2a "Fold-index data") — and otherwise fall
+back to deterministic stratified folds.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+Fold = Tuple[np.ndarray, np.ndarray]
+
+
+def load_fold_indices(fold_dir: str, fold_number: int) -> Fold:
+    """Read `{train,test}_idx-<k>.txt` exactly like the reference
+    (train.py:103-106)."""
+    train = np.loadtxt(
+        os.path.join(fold_dir, f"train_idx-{fold_number}.txt"), dtype=np.int64
+    ).reshape(-1)
+    test = np.loadtxt(
+        os.path.join(fold_dir, f"test_idx-{fold_number}.txt"), dtype=np.int64
+    ).reshape(-1)
+    return train, test
+
+
+def has_fold_files(fold_dir: str, num_folds: int) -> bool:
+    return all(
+        os.path.exists(os.path.join(fold_dir, f"{kind}_idx-{k}.txt"))
+        for k in range(1, num_folds + 1)
+        for kind in ("train", "test")
+    )
+
+
+def make_stratified_folds(
+    y: np.ndarray, num_folds: int = 10, seed: int = 0
+) -> List[Fold]:
+    """Deterministic stratified K-fold: per class, shuffle then deal
+    round-robin into folds. Test sets form an exact partition of the
+    dataset; train = complement."""
+    y = np.asarray(y)
+    n = len(y)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, num_folds]))
+    fold_of = np.empty(n, dtype=np.int64)
+    for cls in np.unique(y):
+        members = rng.permutation(np.flatnonzero(y == cls))
+        fold_of[members] = np.arange(len(members)) % num_folds
+    all_idx = np.arange(n)
+    return [
+        (all_idx[fold_of != k], all_idx[fold_of == k]) for k in range(num_folds)
+    ]
+
+
+def get_folds(
+    y: np.ndarray, fold_dir: str, num_folds: int = 10, seed: int = 0
+) -> List[Fold]:
+    """Vendored fold files when available (parity with the reference
+    protocol), stratified folds otherwise."""
+    if fold_dir and has_fold_files(fold_dir, num_folds):
+        return [load_fold_indices(fold_dir, k) for k in range(1, num_folds + 1)]
+    return make_stratified_folds(y, num_folds, seed)

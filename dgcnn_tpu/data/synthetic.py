@@ -1,0 +1,156 @@
+"""Synthetic profile datasets — offline stand-ins for the eight TU
+benchmarks.
+
+The build environment has no network egress, so the real TU-Dortmund
+downloads (reference README.md:24-27) are unavailable; these generators
+produce datasets with the same *shape contract* as each benchmark —
+graph/class counts, feature decomposition (attrs ‖ one-hot labels ‖ degree,
+SURVEY §2d), node-count and edge-density statistics — so every code path
+(packing, kernels, CV driver, bench) exercises realistic shapes. A planted
+class signal (class-dependent edge density, node-label histogram, and attr
+shift) makes them learnable, so training tests can assert accuracy.
+
+Features are assembled through the same `assemble_features` as the real
+parser, so parser↔synthetic round-trips are bit-exact (tests/test_data.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from dgcnn_tpu.data.graphset import GraphSet
+from dgcnn_tpu.data.tu_parser import assemble_features
+
+# Shape statistics of the eight reference benchmarks (graph/class counts:
+# reference README.md:62-83; feature decomposition: README.md:84-94 and
+# SURVEY §2d; node/edge averages are the published TU collection stats).
+# avg_degree = 2 * avg_undirected_edges / avg_nodes.
+PROFILES = {
+    "MUTAG": dict(num_graphs=188, num_classes=2, num_attrs=0,
+                  num_node_labels=7, avg_nodes=17.93, max_nodes=28,
+                  avg_degree=2.21, sigma=0.20),
+    "PTC_MR": dict(num_graphs=344, num_classes=2, num_attrs=0,
+                   num_node_labels=18, avg_nodes=14.29, max_nodes=64,
+                   avg_degree=2.06, sigma=0.35),
+    "NCI1": dict(num_graphs=4110, num_classes=2, num_attrs=0,
+                 num_node_labels=37, avg_nodes=29.87, max_nodes=111,
+                 avg_degree=2.16, sigma=0.30),
+    "PROTEINS": dict(num_graphs=1113, num_classes=2, num_attrs=1,
+                     num_node_labels=3, avg_nodes=39.06, max_nodes=620,
+                     avg_degree=3.73, sigma=0.55),
+    "DD": dict(num_graphs=1178, num_classes=2, num_attrs=0,
+               num_node_labels=89, avg_nodes=284.32, max_nodes=5748,
+               avg_degree=5.03, sigma=0.80),
+    "COLLAB": dict(num_graphs=5000, num_classes=3, num_attrs=0,
+                   num_node_labels=0, avg_nodes=74.49, max_nodes=492,
+                   avg_degree=65.97, sigma=0.50),
+    "IMDB-BINARY": dict(num_graphs=1000, num_classes=2, num_attrs=0,
+                        num_node_labels=0, avg_nodes=19.77, max_nodes=136,
+                        avg_degree=9.76, sigma=0.40),
+    "IMDB-MULTI": dict(num_graphs=1500, num_classes=3, num_attrs=0,
+                       num_node_labels=0, avg_nodes=13.00, max_nodes=89,
+                       avg_degree=10.14, sigma=0.35),
+}
+
+
+def _sample_undirected_edges(rng: np.random.Generator, n: int, m: int):
+    """`m` distinct undirected pairs over `n` nodes, no self-loops; sparse
+    graphs get a Hamiltonian-path backbone (degree ≥ 1 everywhere), dense
+    ones sample pair indices without replacement."""
+    complete = n * (n - 1) // 2
+    m = int(np.clip(m, 1, complete))
+    if m > complete // 4:
+        iu, iv = np.triu_indices(n, 1)
+        sel = rng.choice(complete, size=m, replace=False)
+        return iu[sel].astype(np.int32), iv[sel].astype(np.int32)
+
+    chain_u = np.arange(n - 1, dtype=np.int64)
+    chain_codes = chain_u * n + (chain_u + 1)
+    extra = m - (n - 1)
+    if extra <= 0:
+        u, v = chain_u[:m], (chain_u + 1)[:m]
+        return u.astype(np.int32), v.astype(np.int32)
+    cand_a = rng.integers(0, n, size=4 * extra + 16)
+    cand_b = rng.integers(0, n, size=4 * extra + 16)
+    keep = cand_a != cand_b
+    lo = np.minimum(cand_a[keep], cand_b[keep])
+    hi = np.maximum(cand_a[keep], cand_b[keep])
+    codes = np.setdiff1d(lo * n + hi, chain_codes)  # unique + not in chain
+    codes = rng.permutation(codes)[:extra]  # unbiased truncation
+    u = np.concatenate([chain_u, codes // n])
+    v = np.concatenate([chain_u + 1, codes % n])
+    return u.astype(np.int32), v.astype(np.int32)
+
+
+def synthesize_tu_dataset(
+    name: str, num_graphs: Optional[int] = None, seed: int = 0
+) -> GraphSet:
+    """Generate a profile-shaped synthetic dataset. `num_graphs=None` uses
+    the benchmark's real graph count (for bench/full-run shapes)."""
+    if name not in PROFILES:
+        raise KeyError(f"unknown profile {name!r}; have {sorted(PROFILES)}")
+    p = PROFILES[name]
+    g = p["num_graphs"] if num_graphs is None else int(num_graphs)
+    c = p["num_classes"]
+    n_labels, n_attrs = p["num_node_labels"], p["num_attrs"]
+    rng = np.random.default_rng(
+        np.random.SeedSequence([seed, sorted(PROFILES).index(name)])
+    )
+
+    # balanced class assignment, shuffled
+    y = rng.permutation((np.arange(g) % c).astype(np.int32))
+
+    node_ptr = np.zeros(g + 1, dtype=np.int64)
+    edge_ptr = np.zeros(g + 1, dtype=np.int64)
+    srcs, dsts, labels_list, attrs_list = [], [], [], []
+    for i in range(g):
+        n = int(np.clip(
+            round(rng.lognormal(np.log(p["avg_nodes"]), p["sigma"])),
+            5, p["max_nodes"],
+        ))
+        # planted signal: class shifts edge density ±25%
+        d = p["avg_degree"] * (1.0 + 0.25 * (float(y[i]) - (c - 1) / 2.0))
+        u, v = _sample_undirected_edges(rng, n, round(n * d / 2.0))
+        # store both directions (TU graphs are symmetric — SURVEY §2c)
+        srcs.append(np.concatenate([u, v]))
+        dsts.append(np.concatenate([v, u]))
+        node_ptr[i + 1] = node_ptr[i] + n
+        edge_ptr[i + 1] = edge_ptr[i] + 2 * len(u)
+        if n_labels:
+            # planted signal: class rotates the label histogram
+            w = 1.5 ** (-((np.arange(n_labels) + y[i] * max(1, n_labels // c))
+                          % n_labels))
+            labels_list.append(rng.choice(n_labels, size=n, p=w / w.sum()))
+        if n_attrs:
+            attrs_list.append(
+                rng.normal(0.5 * (float(y[i]) - (c - 1) / 2.0), 1.0,
+                           size=(n, n_attrs)).astype(np.float32)
+            )
+
+    total_nodes = int(node_ptr[-1])
+    node_labels = None
+    if n_labels:
+        node_labels = np.concatenate(labels_list).astype(np.int64)
+        # guarantee every label bin occurs so the one-hot width is always
+        # n_labels (matches the real datasets, where all bins appear)
+        node_labels[: min(n_labels, total_nodes)] = np.arange(
+            min(n_labels, total_nodes)
+        )
+    node_attrs = np.concatenate(attrs_list) if n_attrs else None
+
+    edge_src = np.concatenate(srcs).astype(np.int32)
+    edge_dst = np.concatenate(dsts).astype(np.int32)
+    x = assemble_features(
+        total_nodes, node_ptr, edge_dst, edge_ptr, node_labels, node_attrs
+    )
+    return GraphSet(
+        x=x,
+        node_ptr=node_ptr,
+        edge_src=edge_src,
+        edge_dst=edge_dst,
+        edge_ptr=edge_ptr,
+        y=y,
+        num_classes=c,
+    )
