@@ -12,11 +12,19 @@ back to deterministic stratified folds.
 from __future__ import annotations
 
 import os
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 Fold = Tuple[np.ndarray, np.ndarray]
+
+# Canonical fold indices bundled from the reference protocol (see
+# tools/import_reference_folds.py for provenance + regeneration).
+_ASSET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets",
+    "folds.npz",
+)
 
 
 def load_fold_indices(fold_dir: str, fold_number: int) -> Fold:
@@ -58,11 +66,41 @@ def make_stratified_folds(
     ]
 
 
+def load_bundled_folds(
+    data_type: str, num_folds: int, num_graphs: int
+) -> Optional[List[Fold]]:
+    """Canonical folds from the bundled asset, or None when the asset lacks
+    this dataset/fold-count or was built for a different dataset size
+    (bundled indices address the REAL benchmark — reject them for
+    synthetic/subset datasets whose graph count differs)."""
+    if not os.path.exists(_ASSET):
+        return None
+    with np.load(_ASSET) as z:
+        keys = [
+            (f"{data_type}/train_idx-{k}", f"{data_type}/test_idx-{k}")
+            for k in range(1, num_folds + 1)
+        ]
+        if not all(tr in z and te in z for tr, te in keys):
+            return None
+        folds = [(z[tr], z[te]) for tr, te in keys]
+    if max(int(arr.max()) for pair in folds for arr in pair) >= num_graphs:
+        return None
+    return folds
+
+
 def get_folds(
-    y: np.ndarray, fold_dir: str, num_folds: int = 10, seed: int = 0
+    y: np.ndarray,
+    fold_dir: str,
+    num_folds: int = 10,
+    seed: int = 0,
+    data_type: str = "",
 ) -> List[Fold]:
-    """Vendored fold files when available (parity with the reference
-    protocol), stratified folds otherwise."""
+    """Fold resolution: user fold files → bundled canonical folds (parity
+    with the reference protocol) → deterministic stratified folds."""
     if fold_dir and has_fold_files(fold_dir, num_folds):
         return [load_fold_indices(fold_dir, k) for k in range(1, num_folds + 1)]
+    if data_type:
+        bundled = load_bundled_folds(data_type, num_folds, len(y))
+        if bundled is not None:
+            return bundled
     return make_stratified_folds(y, num_folds, seed)

@@ -414,7 +414,9 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
     fold_dir = cfg.fold_index_dir or os.path.join(
         cfg.data_root, cfg.data_type, "10fold_idx"
     )
-    folds = get_folds(dataset.y, fold_dir, cfg.num_folds, cfg.seed)
+    folds = get_folds(
+        dataset.y, fold_dir, cfg.num_folds, cfg.seed, data_type=cfg.data_type
+    )
 
     events = EventLog(
         os.path.join(cfg.statistics_dir, f"{cfg.data_type}_events.jsonl")

@@ -176,3 +176,26 @@ def test_load_dataset_from_raw(tmp_path):
     again, meta2 = load_dataset("IMDB-BINARY", root=str(tmp_path), allow_download=False)
     assert meta2.source == "cache"
     np.testing.assert_allclose(again.x, gs.x, rtol=1e-6)
+
+
+def test_bundled_canonical_folds():
+    """The bundled canonical fold asset (reference data/*/10fold_idx via
+    tools/import_reference_folds.py) resolves for all 8 datasets at their
+    real graph counts, and is refused for differently-sized datasets."""
+    from dgcnn_tpu.data.folds import get_folds, load_bundled_folds
+
+    for name, stats in DATASET_STATS.items():
+        folds = load_bundled_folds(name, 10, stats["num_graphs"])
+        assert folds is not None, name
+        assert len(folds) == 10
+        for tr, te in folds:
+            assert len(np.intersect1d(tr, te)) == 0
+            assert int(max(tr.max(), te.max())) < stats["num_graphs"]
+    # MUTAG fold-1 counts documented in SURVEY §2a: 18 per test fold
+    tr1, te1 = load_bundled_folds("MUTAG", 10, 188)[0]
+    assert len(te1) == 18
+    # a 40-graph synthetic MUTAG must NOT get the 188-graph folds
+    assert load_bundled_folds("MUTAG", 10, 40) is None
+    y = np.arange(40) % 2
+    folds = get_folds(y, fold_dir="", num_folds=10, seed=0, data_type="MUTAG")
+    assert max(int(te.max()) for _, te in folds) < 40
