@@ -34,6 +34,10 @@ def get_args(argv=None):
                              "parallel x 2-way edge-partitioned)")
     parser.add_argument("--spmm", default="xla", choices=["xla", "pallas"],
                         help="COO SpMM kernel implementation")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="compute dtype for matmuls/convs (fp32 "
+                             "accumulation; params and loss stay fp32)")
     parser.add_argument("--synthetic", action="store_true",
                         help="allow fallback to synthetic profile data when the "
                              "real dataset is unavailable offline")
@@ -58,6 +62,7 @@ def main(argv=None):
         layout=opt.layout,
         mesh_shape=tuple(int(v) for v in opt.mesh.split(",")),
         spmm_impl=opt.spmm,
+        compute_dtype=opt.dtype,
         checkpoint_resume=opt.resume,
         checkpoint_every=opt.ckpt_every,
         log_every=opt.log_every,

@@ -100,3 +100,5 @@ class Config:
             raise ValueError(f"unknown spmm_impl {self.spmm_impl!r}")
         if self.layout not in ("auto", "coo", "dense"):
             raise ValueError(f"unknown layout {self.layout!r}")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")

@@ -51,6 +51,10 @@ class DGCNN:
     conv1d_kernel: int = 5
     dense_dim: int = 128
     dropout_rate: float = 0.5
+    # Mixed precision: matmul/conv operands in this dtype with fp32
+    # accumulation (MXU-native bf16 mode); params, biases, softmax and the
+    # loss stay fp32. "float32" = exact reference numerics.
+    compute_dtype: str = "float32"
 
     @property
     def concat_dim(self) -> int:
@@ -127,17 +131,24 @@ def _pooled_to_log_probs(
     acts: dict,
 ):
     """Shared tail: conv1d readout → MLP head → log_softmax
-    (reference model.py:36-43). Used by both the COO and dense paths."""
+    (reference model.py:36-43). Used by both the COO and dense paths.
+    Runs in `pooled.dtype` (the model's compute dtype) until the final
+    logits, which are always fp32 for a numerically-stable log_softmax."""
+    dt = pooled.dtype
     feats = conv1d_readout(
         pooled,
-        params["conv5"]["w"],
-        params["conv5"]["b"],
-        params["conv6"]["w"],
-        params["conv6"]["b"],
+        params["conv5"]["w"].astype(dt),
+        params["conv5"]["b"].astype(dt),
+        params["conv6"]["w"].astype(dt),
+        params["conv6"]["b"].astype(dt),
     )
     acts["readout"] = feats
 
-    h = jax.nn.relu(jnp.dot(feats, params["lin1"]["w"]) + params["lin1"]["b"])
+    h = jax.nn.relu(
+        jnp.dot(feats, params["lin1"]["w"].astype(dt),
+                preferred_element_type=jnp.float32)
+        + params["lin1"]["b"]
+    )
     if not deterministic:
         if dropout_rng is None:
             raise ValueError("dropout_rng required when deterministic=False")
@@ -145,8 +156,12 @@ def _pooled_to_log_probs(
         mask = jax.random.bernoulli(dropout_rng, keep, h.shape)
         h = jnp.where(mask, h / keep, 0.0)
 
-    logits = jnp.dot(h, params["lin2"]["w"]) + params["lin2"]["b"]
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    logits = (
+        jnp.dot(h.astype(dt), params["lin2"]["w"].astype(dt),
+                preferred_element_type=jnp.float32)
+        + params["lin2"]["b"]
+    )
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     acts["log_probs"] = log_probs
     return log_probs
 
@@ -181,13 +196,14 @@ def apply_coo(
     edge_w = gcn_edge_weights(batch.edge_src, batch.edge_dst, batch.edge_mask, deg_hat)
 
     acts = {}
-    x = batch.x
+    dt = jnp.dtype(model.compute_dtype)
+    x = batch.x.astype(dt)
     layer_outs = []
     for i, layer in enumerate(params["gcn"]):
         x = jnp.tanh(
             gcn_conv(
                 x,
-                layer["w"],
+                layer["w"].astype(dt),
                 layer["b"],
                 batch.edge_src,
                 batch.edge_dst,
@@ -201,7 +217,7 @@ def apply_coo(
         # they can never leak into SortPooling of real graphs (they carry
         # out-of-range graph ids anyway; masking also keeps activations
         # clean for parity dumps).
-        x = x * batch.node_mask[:, None]
+        x = (x * batch.node_mask[:, None]).astype(dt)
         layer_outs.append(x)
         acts[f"gcn{i + 1}"] = x
 
@@ -231,20 +247,24 @@ def apply_dense(
     normalized adjacency — semantically identical to `apply_coo`
     (test_dense.py asserts logit equality)."""
     acts = {}
-    h = batch.x
-    mask = batch.node_mask[..., None]
+    dt = jnp.dtype(model.compute_dtype)
+    h = batch.x.astype(dt)
+    adj = batch.adj.astype(dt)
+    mask = batch.node_mask[..., None].astype(dt)
     layer_outs = []
     for i, layer in enumerate(params["gcn"]):
         hw = jnp.einsum(
-            "bnf,fo->bno", h, layer["w"], preferred_element_type=jnp.float32
+            "bnf,fo->bno", h, layer["w"].astype(dt),
+            preferred_element_type=jnp.float32,
         )
         h = jnp.tanh(
             jnp.einsum(
-                "bij,bjf->bif", batch.adj, hw, preferred_element_type=jnp.float32
+                "bij,bjf->bif", adj, hw.astype(dt),
+                preferred_element_type=jnp.float32,
             )
             + layer["b"]
         )
-        h = h * mask
+        h = (h * mask).astype(dt)
         layer_outs.append(h)
         acts[f"gcn{i + 1}"] = h
 

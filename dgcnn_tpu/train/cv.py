@@ -64,6 +64,7 @@ def _model_from_config(cfg: Config, num_features: int, num_classes: int) -> DGCN
         conv1d_kernel=cfg.conv1d_kernel,
         dense_dim=cfg.dense_dim,
         dropout_rate=cfg.dropout_rate,
+        compute_dtype=cfg.compute_dtype,
     )
 
 
@@ -162,6 +163,17 @@ class DenseEngine:
         n_tile = dense_tile(dataset)
         self._slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
         self._data = jax.device_put(build_dense_dataset(dataset, n_tile))
+        if cfg.compute_dtype != "float32":
+            # store the device-resident dataset in the compute dtype: halves
+            # both the HBM footprint and the per-batch gather traffic (adj
+            # dominates — batching/dense.py)
+            import jax.numpy as jnp
+
+            dt = jnp.dtype(cfg.compute_dtype)
+            self._data = jax.tree_util.tree_map(
+                lambda a: a.astype(dt) if a.dtype == jnp.float32 else a,
+                self._data,
+            )
         self._train, self._eval = make_dense_gather_epochs(model, optimizer)
 
     def begin_fold(self, train_idx: np.ndarray, test_idx: np.ndarray) -> None:
