@@ -61,32 +61,44 @@ def _train_split(name):
     return gs.subset(perm[: int(gs.num_graphs * 0.9)]), meta
 
 
-def _bench_dense(train):
+def _bench_dense(train, epochs_per_dispatch=10):
     """Time the framework-default path: device-resident dense dataset with
-    on-device batch gather (train/cv.py DenseEngine)."""
+    on-device batch gather and FUSED multi-epoch dispatch (train/cv.py
+    DenseEngine.run_epochs) — `epochs_per_dispatch` full training epochs
+    (fresh shuffle each, so no dispatch is cacheable) per timed fetch;
+    reported value is per-epoch."""
     import jax
     import optax
 
     from dgcnn_tpu.batching.dense import build_dense_dataset, dense_tile, order_matrix
     from dgcnn_tpu.models.dgcnn import DGCNN, init_params
-    from dgcnn_tpu.train.loop import make_dense_gather_epochs
+    from dgcnn_tpu.train.loop import make_dense_gather_run
 
     model = DGCNN(num_features=train.num_features, num_classes=train.num_classes)
     params = init_params(jax.random.PRNGKey(324), model)
     optimizer = optax.adam(1e-3)
     state = {"p": params, "s": optimizer.init(params), "k": jax.random.PRNGKey(0)}
     data = jax.device_put(build_dense_dataset(train, dense_tile(train)))
-    dense_train, _ = make_dense_gather_epochs(model, optimizer)
+    run = make_dense_gather_run(model, optimizer)
+    # train-epoch throughput only (the reference "Training Time" rows time
+    # train(), not test() — BASELINE.md): zero eval steps in the fused run
+    no_eval = np.full((0, 56), -1, dtype=np.int32)
     shuffle = np.random.default_rng(7)
 
-    def one_epoch(_):
-        order2d = order_matrix(shuffle.permutation(train.num_graphs), 50, 56)
-        state["p"], state["s"], state["k"], loss, _ = dense_train(
-            state["p"], state["s"], state["k"], data, order2d
+    def one_dispatch(_):
+        order3d = np.stack(
+            [
+                order_matrix(shuffle.permutation(train.num_graphs), 50, 56)
+                for _ in range(epochs_per_dispatch)
+            ]
         )
-        return loss
+        state["p"], state["s"], state["k"], rows = run(
+            state["p"], state["s"], state["k"], data, order3d, no_eval
+        )
+        return rows[:, 0].sum()  # fence on the train losses
 
-    return _time_epochs(one_epoch)
+    best, times = _time_epochs(one_dispatch)
+    return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
 
 
 def _bench_coo(train, impl):

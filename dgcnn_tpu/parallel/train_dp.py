@@ -125,6 +125,39 @@ def make_dp_eval_epoch(model: DGCNN, mesh: Mesh, spmm_impl: str = "xla") -> Call
     return eval_epoch
 
 
+def _make_dense_dp_loss(model: DGCNN, mesh: Mesh, deterministic: bool) -> Callable:
+    """(params, data, idx_rows [n_data, slots], rng) → replicated
+    (global mean loss, correct count) — each "data"-axis device gathers and
+    evaluates its own sub-batch from the replicated DenseDataset."""
+    from dgcnn_tpu.batching.dense import gather_dense_batch
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P()),
+        out_specs=(P(), P()),
+    )
+    def f(params, data, idx_row, rng):
+        batch = gather_dense_batch(data, idx_row[0])
+        dropout_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        lp = apply(
+            params,
+            model,
+            batch,
+            deterministic=deterministic,
+            dropout_rng=None if deterministic else dropout_rng,
+        )
+        loss_sum, correct = _loss_terms(lp, batch.y, batch.graph_mask)
+        total = jnp.maximum(jax.lax.psum(batch.graph_mask.sum(), "data"), 1.0)
+        loss = jax.lax.psum(loss_sum, "data") / total
+        correct = jax.lax.psum(correct, "data")
+        # the graph axis never sees varying data here; pmean is the
+        # replication proof for check_vma, numerically a no-op
+        return jax.lax.pmean(loss, "graph"), jax.lax.pmean(correct, "graph")
+
+    return f
+
+
 def make_dense_dp_epochs(model: DGCNN, optimizer: optax.GradientTransformation,
                          mesh: Mesh):
     """Data-parallel epoch runners over a REPLICATED device-resident
@@ -138,37 +171,8 @@ def make_dense_dp_epochs(model: DGCNN, optimizer: optax.GradientTransformation,
             with order3d [steps, n_data, slots]
         eval_epoch(params, data, order3d)
     """
-    from dgcnn_tpu.batching.dense import gather_dense_batch
-
-    def shard_loss(deterministic):
-        @partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(), P(), P("data"), P()),
-            out_specs=(P(), P()),
-        )
-        def f(params, data, idx_row, rng):
-            batch = gather_dense_batch(data, idx_row[0])
-            dropout_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-            lp = apply(
-                params,
-                model,
-                batch,
-                deterministic=deterministic,
-                dropout_rng=None if deterministic else dropout_rng,
-            )
-            loss_sum, correct = _loss_terms(lp, batch.y, batch.graph_mask)
-            total = jnp.maximum(jax.lax.psum(batch.graph_mask.sum(), "data"), 1.0)
-            loss = jax.lax.psum(loss_sum, "data") / total
-            correct = jax.lax.psum(correct, "data")
-            # the graph axis never sees varying data here; pmean is the
-            # replication proof for check_vma, numerically a no-op
-            return jax.lax.pmean(loss, "graph"), jax.lax.pmean(correct, "graph")
-
-        return f
-
-    train_loss = shard_loss(deterministic=False)
-    eval_loss = shard_loss(deterministic=True)
+    train_loss = _make_dense_dp_loss(model, mesh, deterministic=False)
+    eval_loss = _make_dense_dp_loss(model, mesh, deterministic=True)
 
     @jax.jit
     def train_epoch(params, opt_state, rng, data, order3d):
@@ -198,6 +202,57 @@ def make_dense_dp_epochs(model: DGCNN, optimizer: optax.GradientTransformation,
         return losses.mean(), corrects.sum()
 
     return train_epoch, eval_epoch
+
+
+def make_dense_dp_run(model: DGCNN, optimizer: optax.GradientTransformation,
+                      mesh: Mesh) -> Callable:
+    """FUSED multi-epoch mesh runner (the sharded counterpart of
+    train/loop.py make_dense_gather_run): k epochs of data-parallel
+    train + eval as ONE jitted program, per-epoch metrics returned stacked.
+
+        run(params, opt_state, rng, data, order4d, test_order3d)
+            → (params, opt_state, rng, rows [k, 4])
+
+    order4d: [k, steps, n_data, slots] (sharded P(None, None, "data"));
+    test_order3d: [t_steps, n_data, slots]. Rows are identical to k
+    sequential make_dense_dp_epochs calls."""
+    train_loss = _make_dense_dp_loss(model, mesh, deterministic=False)
+    eval_loss = _make_dense_dp_loss(model, mesh, deterministic=True)
+    dummy = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(params, opt_state, rng, data, order4d, test_order3d):
+        def train_step(carry, idx_rows):
+            params, opt_state, rng = carry
+            rng, sub = jax.random.split(rng)
+            (loss, correct), grads = jax.value_and_grad(
+                lambda p: train_loss(p, data, idx_rows, sub), has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, correct)
+
+        def epoch(carry, order3d):
+            carry, (losses, corrects) = jax.lax.scan(train_step, carry, order3d)
+            params = carry[0]
+
+            def eval_body(c, idx_rows):
+                return c, eval_loss(params, data, idx_rows, dummy)
+
+            _, (te_losses, te_corrects) = jax.lax.scan(
+                eval_body, None, test_order3d
+            )
+            row = jnp.stack(
+                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
+            )
+            return carry, row
+
+        (params, opt_state, rng), rows = jax.lax.scan(
+            epoch, (params, opt_state, rng), order4d
+        )
+        return params, opt_state, rng, rows
+
+    return run
 
 
 def device_put_epoch(batches, mesh: Mesh):

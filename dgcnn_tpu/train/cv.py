@@ -43,6 +43,7 @@ from dgcnn_tpu.data.graphset import GraphSet
 from dgcnn_tpu.models.dgcnn import DGCNN, init_params, num_params
 from dgcnn_tpu.train.loop import (
     make_dense_gather_epochs,
+    make_dense_gather_run,
     make_eval_epoch,
     make_train_epoch,
 )
@@ -119,7 +120,25 @@ def _completed_fold_accuracies(csv_path: str, num_epochs: int) -> Optional[Tuple
     return float(last[3]), float(last[4])
 
 
-class CooEngine:
+class EngineBase:
+    """Common engine surface. `run_epochs` executes k consecutive
+    train+eval epochs and returns per-epoch metric rows; the base
+    implementation is one dispatch per epoch, engines that can fuse
+    epochs into a single device program override it (DenseEngine)."""
+
+    def run_epochs(self, params, opt_state, rng, perms: np.ndarray):
+        rows = []
+        for perm in perms:
+            params, opt_state, rng, tr_loss, tr_correct = self.train_epoch(
+                params, opt_state, rng, perm
+            )
+            te_loss, te_correct = self.eval_test(params)
+            rows.append((tr_loss, te_loss, tr_correct, te_correct))
+        rows = np.asarray(jax.device_get(rows), dtype=np.float64)
+        return params, opt_state, rng, rows
+
+
+class CooEngine(EngineBase):
     """Epoch engine for the COO layout: host packing per epoch (pad-and-
     bucket), jitted scan over the stacked batches."""
 
@@ -151,11 +170,14 @@ class CooEngine:
         return self._eval(params, self._test_batches)
 
 
-class DenseEngine:
+class DenseEngine(EngineBase):
     """Epoch engine for the dense layout: the whole dataset lives on device
     in dense form (batching/dense.py DenseDataset); an epoch ships only the
     shuffled [steps, slots] index matrix and batches are gathered on
-    device."""
+    device. `run_epochs` fuses whole epoch RANGES into one dispatch
+    (train/loop.py make_dense_gather_run) — on this transport a dispatch
+    costs more than a small-dataset epoch computes, so fusion is the
+    difference between latency-bound and compute-bound training."""
 
     def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
                  optimizer: optax.GradientTransformation):
@@ -175,6 +197,7 @@ class DenseEngine:
                 self._data,
             )
         self._train, self._eval = make_dense_gather_epochs(model, optimizer)
+        self._run = make_dense_gather_run(model, optimizer)
 
     def begin_fold(self, train_idx: np.ndarray, test_idx: np.ndarray) -> None:
         self._train_idx = np.asarray(train_idx, dtype=np.int32)
@@ -191,8 +214,23 @@ class DenseEngine:
     def eval_test(self, params):
         return self._eval(params, self._data, self._test_order)
 
+    def run_epochs(self, params, opt_state, rng, perms: np.ndarray):
+        order3d = np.stack(
+            [
+                order_matrix(self._train_idx[p], self.cfg.batch_size, self._slots)
+                for p in perms
+            ]
+        )
+        params, opt_state, rng, rows = self._run(
+            params, opt_state, rng, self._data, jax.device_put(order3d),
+            self._test_order,
+        )
+        return params, opt_state, rng, np.asarray(
+            jax.device_get(rows), dtype=np.float64
+        )
 
-class MeshCooEngine:
+
+class MeshCooEngine(EngineBase):
     """Mesh-sharded COO engine: data parallelism over LPT-balanced
     sub-batches × edge-partitioned aggregation (parallel/train_dp.py).
     Exact global-batch loss/gradients — the training protocol is identical
@@ -237,7 +275,7 @@ class MeshCooEngine:
         return self._eval(params, self._test_batches)
 
 
-class MeshDenseEngine:
+class MeshDenseEngine(EngineBase):
     """Mesh-sharded dense engine: the DenseDataset is replicated across the
     mesh and each data-axis device gathers its round-robin share of every
     batch on device (parallel/train_dp.py make_dense_dp_epochs)."""
@@ -248,7 +286,10 @@ class MeshDenseEngine:
 
         from dgcnn_tpu.batching.dense import order_matrix_dp
         from dgcnn_tpu.parallel import make_mesh
-        from dgcnn_tpu.parallel.train_dp import make_dense_dp_epochs
+        from dgcnn_tpu.parallel.train_dp import (
+            make_dense_dp_epochs,
+            make_dense_dp_run,
+        )
 
         self.cfg = cfg
         self.n_data = cfg.mesh_shape[0]
@@ -262,11 +303,15 @@ class MeshDenseEngine:
             NamedSharding(self.mesh, P()),
         )
         self._order_sharding = NamedSharding(self.mesh, P(None, "data"))
+        self._order4d_sharding = NamedSharding(self.mesh, P(None, None, "data"))
+        self._order_np = lambda idx: order_matrix_dp(
+            idx, cfg.batch_size, self.n_data, self._slots
+        )
         self._order = lambda idx: jax.device_put(
-            order_matrix_dp(idx, cfg.batch_size, self.n_data, self._slots),
-            self._order_sharding,
+            self._order_np(idx), self._order_sharding
         )
         self._train, self._eval = make_dense_dp_epochs(model, optimizer, self.mesh)
+        self._run = make_dense_dp_run(model, optimizer, self.mesh)
 
     def begin_fold(self, train_idx, test_idx):
         self._train_idx = np.asarray(train_idx, dtype=np.int32)
@@ -279,6 +324,18 @@ class MeshDenseEngine:
 
     def eval_test(self, params):
         return self._eval(params, self._data, self._test_order)
+
+    def run_epochs(self, params, opt_state, rng, perms: np.ndarray):
+        order4d = jax.device_put(
+            np.stack([self._order_np(self._train_idx[p]) for p in perms]),
+            self._order4d_sharding,
+        )
+        params, opt_state, rng, rows = self._run(
+            params, opt_state, rng, self._data, order4d, self._test_order
+        )
+        return params, opt_state, rng, np.asarray(
+            jax.device_get(rows), dtype=np.float64
+        )
 
 
 def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
@@ -341,47 +398,59 @@ def run_fold(
             shuffle_rng.permutation(n_train)
         print(f"[fold {fold_number}] resumed at epoch {start_epoch}")
 
-    for epoch in range(start_epoch, cfg.num_epochs + 1):
-        perm = shuffle_rng.permutation(n_train)
+    # Epochs run in CHUNKS: `run_epochs` executes a whole range on device
+    # (one dispatch for fused engines — see DenseEngine) and returns
+    # per-epoch metric rows, so host round-trips happen once per chunk
+    # instead of twice per epoch. Chunk boundaries align with the
+    # checkpoint cadence; metric values are identical to per-epoch
+    # execution (same RNG threading, same shuffle stream).
+    epoch = start_epoch
+    while epoch <= cfg.num_epochs:
+        k = cfg.num_epochs - epoch + 1
+        if cfg.checkpoint_every:
+            k = min(
+                k,
+                cfg.checkpoint_every - (epoch - 1) % cfg.checkpoint_every,
+            )
+        perms = np.stack([shuffle_rng.permutation(n_train) for _ in range(k)])
 
         t0 = time.perf_counter()
-        params, opt_state, run_key, tr_loss, tr_correct = engine.train_epoch(
-            params, opt_state, run_key, perm
+        params, opt_state, run_key, rows = engine.run_epochs(
+            params, opt_state, run_key, perms
         )
-        te_loss, te_correct = engine.eval_test(params)
-        tr_loss, tr_correct, te_loss, te_correct = jax.device_get(
-            (tr_loss, tr_correct, te_loss, te_correct)
-        )
-        dt = time.perf_counter() - t0
+        dt = (time.perf_counter() - t0) / k  # amortized per-epoch seconds
 
-        train_acc = float(tr_correct) / n_train * 100.0
-        test_acc = float(te_correct) / n_test * 100.0
-        metrics.append(tr_loss, te_loss, train_acc, test_acc)
-        events.write(
-            kind="epoch",
-            fold=fold_number,
-            epoch=epoch,
-            train_loss=float(tr_loss),
-            test_loss=float(te_loss),
-            train_accuracy=train_acc,
-            test_accuracy=test_acc,
-            epoch_seconds=dt,
-            edges_per_second=train_edges / dt if dt > 0 else 0.0,
-        )
-        if cfg.log_every and epoch % cfg.log_every == 0:
-            print(
-                f"[fold {fold_number}] epoch {epoch}: "
-                f"train {tr_loss:.4f}/{train_acc:.2f}% "
-                f"test {te_loss:.4f}/{test_acc:.2f}% ({dt:.2f}s)"
+        for j in range(k):
+            tr_loss, te_loss, tr_correct, te_correct = rows[j]
+            train_acc = float(tr_correct) / n_train * 100.0
+            test_acc = float(te_correct) / n_test * 100.0
+            metrics.append(float(tr_loss), float(te_loss), train_acc, test_acc)
+            events.write(
+                kind="epoch",
+                fold=fold_number,
+                epoch=epoch + j,
+                train_loss=float(tr_loss),
+                test_loss=float(te_loss),
+                train_accuracy=train_acc,
+                test_accuracy=test_acc,
+                epoch_seconds=dt,
+                edges_per_second=train_edges / dt if dt > 0 else 0.0,
             )
-        if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
+            if cfg.log_every and (epoch + j) % cfg.log_every == 0:
+                print(
+                    f"[fold {fold_number}] epoch {epoch + j}: "
+                    f"train {tr_loss:.4f}/{train_acc:.2f}% "
+                    f"test {te_loss:.4f}/{test_acc:.2f}% ({dt:.2f}s)"
+                )
+        epoch += k
+        if cfg.checkpoint_every and (epoch - 1) % cfg.checkpoint_every == 0:
             save_checkpoint(
                 inflight,
                 {
                     "params": params,
                     "opt_state": opt_state,
                     "rng": np.asarray(run_key),
-                    "epoch": np.int64(epoch),
+                    "epoch": np.int64(epoch - 1),
                     "metrics": {
                         c: np.asarray(metrics.rows[c]) for c in FoldMetrics.COLUMNS
                     },

@@ -151,3 +151,73 @@ def make_dense_gather_epochs(
         return losses.mean(), corrects.sum()
 
     return train_epoch, eval_epoch
+
+
+def make_dense_gather_run(
+    model: DGCNN, optimizer: optax.GradientTransformation
+) -> Callable:
+    """FUSED multi-epoch runner over a device-resident DenseDataset — the
+    TPU answer to dispatch latency: on this transport a dispatch costs
+    ~20-30 ms while a whole small-dataset epoch computes in single-digit
+    ms, so the per-epoch APIs above are latency-bound. Here `k` epochs of
+    train + eval (the reference's per-epoch protocol, train.py:113-116)
+    run as ONE jitted program — an outer `lax.scan` over the per-epoch
+    shuffle matrices — and per-epoch metrics come back as stacked arrays
+    in a single host transfer.
+
+        run(params, opt_state, rng, data, order3d, test_order2d)
+            → (params, opt_state, rng, rows)
+
+    order3d: [k, steps, slots] int32 (−1-padded) — epoch e trains on
+    order3d[e]; test_order2d: [t_steps, slots] eval batches (fixed across
+    epochs, reference train.py:109 shuffle=False). rows: [k, 4] fp32 =
+    (train_loss, test_loss, train_correct, test_correct) per epoch —
+    identical values to k sequential train_epoch/eval_epoch calls.
+    """
+    from dgcnn_tpu.batching.dense import gather_dense_batch
+
+    def train_step(data):
+        def step(carry, idx_row):
+            params, opt_state, rng = carry
+            rng, dropout_rng = jax.random.split(rng)
+            batch = gather_dense_batch(data, idx_row)
+
+            def loss_fn(p):
+                lp = apply(
+                    p, model, batch, deterministic=False, dropout_rng=dropout_rng
+                )
+                return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, correct)
+
+        return step
+
+    @jax.jit
+    def run(params, opt_state, rng, data, order3d, test_order2d):
+        def epoch(carry, order2d):
+            (params, opt_state, rng), (losses, corrects) = jax.lax.scan(
+                train_step(data), carry, order2d
+            )
+
+            def eval_body(c, idx_row):
+                batch = gather_dense_batch(data, idx_row)
+                lp = apply(params, model, batch, deterministic=True)
+                return c, nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+            _, (te_losses, te_corrects) = jax.lax.scan(
+                eval_body, None, test_order2d
+            )
+            row = jnp.stack(
+                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
+            )
+            return (params, opt_state, rng), row
+
+        (params, opt_state, rng), rows = jax.lax.scan(
+            epoch, (params, opt_state, rng), order3d
+        )
+        return params, opt_state, rng, rows
+
+    return run

@@ -76,3 +76,40 @@ def test_cv_reproducible(tmp_path):
                                    epochs_dir=str(tmp_path / "e2")), dataset=gs)
     np.testing.assert_allclose(r1["test_accuracies"], r2["test_accuracies"])
     np.testing.assert_allclose(r1["train_accuracies"], r2["train_accuracies"])
+
+
+def test_fused_run_epochs_equals_sequential():
+    """DenseEngine.run_epochs (one fused multi-epoch dispatch) must produce
+    the SAME per-epoch metrics and final params as per-epoch execution —
+    same RNG threading, same shuffle consumption."""
+    import jax
+    import optax
+
+    from dgcnn_tpu.models.dgcnn import DGCNN, init_params
+    from dgcnn_tpu.train.cv import DenseEngine
+
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=30, seed=4)
+    cfg = Config(data_type="MUTAG", batch_size=8, graph_pad_multiple=4)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    optimizer = optax.adam(1e-3)
+    engine = DenseEngine(cfg, gs, model, optimizer)
+    train_idx, test_idx = np.arange(24), np.arange(24, 30)
+    engine.begin_fold(train_idx, test_idx)
+
+    perms = np.stack([np.random.default_rng(e).permutation(24) for e in range(4)])
+    p0 = init_params(jax.random.PRNGKey(0), model)
+    s0 = optimizer.init(p0)
+    k0 = jax.random.PRNGKey(7)
+
+    pf, sf, kf, rows_fused = engine.run_epochs(p0, s0, k0, perms)
+    # sequential path = EngineBase implementation
+    from dgcnn_tpu.train.cv import EngineBase
+
+    ps, ss, ks, rows_seq = EngineBase.run_epochs(engine, p0, s0, k0, perms)
+
+    np.testing.assert_allclose(rows_fused, rows_seq, rtol=1e-6, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(pf), jax.tree_util.tree_leaves(ps)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(kf), np.asarray(ks))
