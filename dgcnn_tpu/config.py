@@ -79,6 +79,10 @@ class Config:
     graph_pad_multiple: int = 8
     # Compute dtype for the network ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
+    # COO epoch-fusion transfer budget: how many bytes of host-packed epochs
+    # to ship per fused multi-epoch dispatch (the dense path needs no budget
+    # — its dataset is device-resident and only index matrices transfer).
+    coo_fuse_bytes: int = 1 << 30
     # Device mesh: (data, graph) axis sizes. (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)
 

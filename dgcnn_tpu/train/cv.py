@@ -42,6 +42,7 @@ from dgcnn_tpu.data.folds import get_folds
 from dgcnn_tpu.data.graphset import GraphSet
 from dgcnn_tpu.models.dgcnn import DGCNN, init_params, num_params
 from dgcnn_tpu.train.loop import (
+    make_coo_run,
     make_dense_gather_epochs,
     make_dense_gather_run,
     make_eval_epoch,
@@ -150,9 +151,24 @@ class CooEngine(EngineBase):
             dataset, cfg.batch_size, cfg.node_pad_multiple,
             cfg.edge_pad_multiple, cfg.graph_pad_multiple,
         )
+        self._bucket = bucket
         self._pack = lambda ds, order: pack_epoch(ds, order, cfg.batch_size, bucket)
         self._train = make_train_epoch(model, optimizer, cfg.spmm_impl)
         self._eval = make_eval_epoch(model, cfg.spmm_impl)
+        self._run = make_coo_run(model, optimizer, cfg.spmm_impl)
+
+    def _epoch_bytes(self, n_train: int) -> int:
+        """Device bytes of one packed epoch (x dominates; edge/node
+        bookkeeping arrays included)."""
+        steps = -(-n_train // self.cfg.batch_size)
+        b = self._bucket
+        per_step = (
+            b.num_nodes * (self.dataset.num_features * 4 + 8)
+            + b.num_edges * 12
+            + b.num_graphs * 8
+            + 4
+        )
+        return steps * per_step
 
     def begin_fold(self, train_idx: np.ndarray, test_idx: np.ndarray) -> None:
         self._train_set = self.dataset.subset(train_idx)
@@ -161,6 +177,12 @@ class CooEngine(EngineBase):
         self._test_batches = jax.device_put(
             self._pack(test_set, np.arange(test_set.num_graphs))
         )
+        # COO epochs must be host-packed and shipped, so fusion is chunked
+        # by a transfer budget rather than fused whole like the dense path
+        self._fuse_epochs = int(
+            np.clip(self.cfg.coo_fuse_bytes // max(self._epoch_bytes(
+                len(train_idx)), 1), 1, 64)
+        )
 
     def train_epoch(self, params, opt_state, rng, perm: np.ndarray):
         batches = self._pack(self._train_set, perm)
@@ -168,6 +190,25 @@ class CooEngine(EngineBase):
 
     def eval_test(self, params):
         return self._eval(params, self._test_batches)
+
+    def run_epochs(self, params, opt_state, rng, perms: np.ndarray):
+        import jax.tree_util as jtu
+
+        all_rows = []
+        i = 0
+        while i < len(perms):
+            r = min(len(perms) - i, self._fuse_epochs)
+            stacked = jtu.tree_map(
+                lambda *xs: np.stack(xs),
+                *[self._pack(self._train_set, p) for p in perms[i : i + r]],
+            )
+            params, opt_state, rng, rows = self._run(
+                params, opt_state, rng, jax.device_put(stacked),
+                self._test_batches,
+            )
+            all_rows.append(np.asarray(jax.device_get(rows), dtype=np.float64))
+            i += r
+        return params, opt_state, rng, np.concatenate(all_rows, axis=0)
 
 
 class DenseEngine(EngineBase):

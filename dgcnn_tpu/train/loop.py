@@ -82,6 +82,67 @@ def make_train_epoch(
     return train_epoch
 
 
+def make_coo_run(
+    model: DGCNN,
+    optimizer: optax.GradientTransformation,
+    spmm_impl: str = "xla",
+) -> Callable:
+    """FUSED multi-epoch runner for the COO layout (the packed-batch
+    counterpart of `make_dense_gather_run`): `batches` leaves carry TWO
+    leading axes [k, steps, ...] — k host-packed epochs — and k epochs of
+    train + eval execute as one jitted program.
+
+        run(params, opt_state, rng, batches, test_batches)
+            → (params, opt_state, rng, rows [k, 4])
+
+    Unlike the dense path the epochs' batch data must be shipped to the
+    device (batch composition changes with each shuffle), so callers chunk
+    k by a transfer/memory budget (train/cv.py CooEngine.run_epochs)."""
+
+    def step(carry, batch: GraphBatch):
+        params, opt_state, rng = carry
+        rng, dropout_rng = jax.random.split(rng)
+
+        def loss_fn(p):
+            lp = apply(
+                p, model, batch, deterministic=False, dropout_rng=dropout_rng,
+                spmm_impl=spmm_impl,
+            )
+            return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+        (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rng), (loss, correct)
+
+    @jax.jit
+    def run(params, opt_state, rng, batches, test_batches):
+        def epoch(carry, ebatches):
+            carry, (losses, corrects) = jax.lax.scan(step, carry, ebatches)
+            params = carry[0]
+
+            def eval_body(c, batch):
+                lp = apply(
+                    params, model, batch, deterministic=True, spmm_impl=spmm_impl
+                )
+                return c, nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+            _, (te_losses, te_corrects) = jax.lax.scan(
+                eval_body, None, test_batches
+            )
+            row = jnp.stack(
+                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
+            )
+            return carry, row
+
+        (params, opt_state, rng), rows = jax.lax.scan(
+            epoch, (params, opt_state, rng), batches
+        )
+        return params, opt_state, rng, rows
+
+    return run
+
+
 def make_eval_epoch(model: DGCNN, spmm_impl: str = "xla") -> Callable:
     """Returns jitted `(params, batches) → (mean_loss, correct)` — the
     equivalent of the reference `test()` (train.py:49-66): eval mode

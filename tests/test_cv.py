@@ -113,3 +113,37 @@ def test_fused_run_epochs_equals_sequential():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(kf), np.asarray(ks))
+
+
+def test_fused_coo_run_epochs_equals_sequential():
+    """CooEngine.run_epochs (chunked fused dispatch) must match per-epoch
+    execution exactly, including across chunk boundaries."""
+    import jax
+    import optax
+
+    from dgcnn_tpu.models.dgcnn import DGCNN, init_params
+    from dgcnn_tpu.train.cv import CooEngine, EngineBase
+
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=30, seed=4)
+    cfg = Config(
+        data_type="MUTAG", batch_size=8,
+        node_pad_multiple=64, edge_pad_multiple=128, graph_pad_multiple=4,
+    )
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    optimizer = optax.adam(1e-3)
+    engine = CooEngine(cfg, gs, model, optimizer)
+    engine.begin_fold(np.arange(24), np.arange(24, 30))
+    engine._fuse_epochs = 3  # force a chunk boundary inside 5 epochs
+
+    perms = np.stack([np.random.default_rng(e).permutation(24) for e in range(5)])
+    p0 = init_params(jax.random.PRNGKey(0), model)
+    s0 = optimizer.init(p0)
+    k0 = jax.random.PRNGKey(7)
+
+    pf, _, kf, rows_fused = engine.run_epochs(p0, s0, k0, perms)
+    ps, _, ks, rows_seq = EngineBase.run_epochs(engine, p0, s0, k0, perms)
+
+    np.testing.assert_allclose(rows_fused, rows_seq, rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(pf), jax.tree_util.tree_leaves(ps)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(kf), np.asarray(ks))
