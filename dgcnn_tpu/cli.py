@@ -47,11 +47,21 @@ def get_args(argv=None):
                         help="save an in-flight resume bundle every N epochs")
     parser.add_argument("--log_every", default=0, type=int,
                         help="print metrics every N epochs (0 = per-fold only)")
+    parser.add_argument("--profile", default=None, type=str, metavar="DIR",
+                        help="capture a jax.profiler device trace of the run "
+                             "into DIR (view with TensorBoard/xprof)")
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     opt = get_args(argv)
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if opt.profile:
+        from dgcnn_tpu.utils.profiling import trace
+
+        ctx = trace(opt.profile)
     cfg = Config(
         data_type=opt.data_type,
         batch_size=opt.batch_size,
@@ -67,7 +77,8 @@ def main(argv=None):
         checkpoint_every=opt.ckpt_every,
         log_every=opt.log_every,
     )
-    return run_cross_validation(cfg, allow_synthetic=opt.synthetic)
+    with ctx:
+        return run_cross_validation(cfg, allow_synthetic=opt.synthetic)
 
 
 if __name__ == "__main__":
