@@ -1,0 +1,181 @@
+"""Device-resident COO graphset with on-device ragged batch assembly.
+
+The dense engine (batching/dense.py) keeps the whole dataset in HBM and
+ships only a per-epoch shuffle matrix — but it is quadratic in the largest
+graph, so datasets like D&D (5.7k-node outliers) fall back to the COO
+layout, which until now host-packed and re-shipped every epoch's feature
+blocks (~hundreds of MB per epoch over a slow host↔device link).
+
+This module gives the COO path the same device-residency: the flattened
+GraphSet arrays (x, per-graph dst-sorted edges, prefix tables) are moved
+to HBM ONCE, and a packed `GraphBatch` is assembled INSIDE jit from a
+[slots] vector of graph ids using only static-shape primitives —
+`cumsum` over per-graph counts, `searchsorted` to map padded node/edge
+positions to their batch slot, and row gathers. The result is
+byte-identical to the host packer's output (tests/test_device_coo.py):
+per-graph edges are pre-sorted by destination at build time, and slot
+offsets increase monotonically, so the concatenated stream is globally
+destination-sorted exactly like packer.py's stable argsort.
+
+Memory: O(total nodes × F + total edges) — D&D fits in ~140 MB where its
+dense form would need ~150 GB.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax.tree_util as jtu
+
+from dgcnn_tpu.batching.packer import BucketSpec, GraphBatch
+from dgcnn_tpu.data.graphset import GraphSet
+
+
+@dataclasses.dataclass
+class DeviceGraphSet:
+    """A whole GraphSet as device arrays (pytree; device after
+    jax.device_put). Row G of the count tables is a zero-count sentinel
+    graph used for padded batch slots; row N of `x` is a zero sentinel
+    node.
+
+    x:           [N+1, F]  node features (+ zero row at index N)
+    node_start:  [G+1]     first row of each graph's nodes (+ sentinel)
+    node_count:  [G+1]     nodes per graph (+ 0)
+    edge_src:    [E]       graph-LOCAL src, per-graph dst-sorted
+    edge_dst:    [E]       graph-LOCAL dst, per-graph sorted ascending
+    edge_start:  [G+1]     first edge of each graph (+ sentinel)
+    edge_count:  [G+1]     self-loop-stripped edges per graph (+ 0)
+    y:           [G+1]     labels (+ 0)
+    """
+
+    x: np.ndarray
+    node_start: np.ndarray
+    node_count: np.ndarray
+    edge_src: np.ndarray
+    edge_dst: np.ndarray
+    edge_start: np.ndarray
+    edge_count: np.ndarray
+    y: np.ndarray
+
+
+jtu.register_pytree_node(
+    DeviceGraphSet,
+    lambda d: (
+        tuple(getattr(d, f.name) for f in dataclasses.fields(DeviceGraphSet)),
+        None,
+    ),
+    lambda aux, ch: DeviceGraphSet(*ch),
+)
+
+
+def build_device_graphset(dataset: GraphSet) -> DeviceGraphSet:
+    """One-time host-side preparation: strip self-loops (reference
+    model.py:28 — the packer does this per batch; here once), sort each
+    graph's edges by destination (stable), append sentinels."""
+    g = dataset.num_graphs
+    srcs, dsts, counts = [], [], np.zeros(g + 1, dtype=np.int32)
+    for i in range(g):
+        es, ee = dataset.edge_ptr[i], dataset.edge_ptr[i + 1]
+        s = dataset.edge_src[es:ee]
+        d = dataset.edge_dst[es:ee]
+        keep = s != d
+        s, d = s[keep], d[keep]
+        order = np.argsort(d, kind="stable")
+        srcs.append(s[order])
+        dsts.append(d[order])
+        counts[i] = len(s)
+    edge_start = np.zeros(g + 1, dtype=np.int32)
+    np.cumsum(counts[:-1], out=edge_start[1:])
+
+    x = np.concatenate(
+        [dataset.x.astype(np.float32), np.zeros((1, dataset.num_features), np.float32)]
+    )
+    node_count = np.concatenate(
+        [np.diff(dataset.node_ptr).astype(np.int32), [0]]
+    )
+    node_start = dataset.node_ptr.astype(np.int32)  # [G+1]; row G = N sentinel
+    y = np.concatenate([dataset.y.astype(np.int32), [0]])
+
+    return DeviceGraphSet(
+        x=x,
+        node_start=node_start,
+        node_count=node_count,
+        edge_src=np.concatenate(srcs).astype(np.int32) if g else np.zeros(0, np.int32),
+        edge_dst=np.concatenate(dsts).astype(np.int32) if g else np.zeros(0, np.int32),
+        edge_start=edge_start,
+        edge_count=counts,
+        y=y,
+    )
+
+
+def device_graphset_bytes(dataset: GraphSet) -> int:
+    return (
+        (dataset.total_nodes + 1) * dataset.num_features * 4
+        + dataset.total_edges * 8
+        + dataset.num_graphs * 24
+    )
+
+
+def gather_coo_batch(dev: DeviceGraphSet, idx_row, bucket: BucketSpec) -> GraphBatch:
+    """Assemble one packed GraphBatch on device from [slots] graph ids
+    (−1 = empty slot). Traced inside jit; every shape is bucket-static.
+
+    Matches batching/packer.py `pack_batch` bit-for-bit: same slot
+    layout, same padding sentinels (padded nodes carry graph id = slots,
+    padded edges point src 0 → dst N_pad−1), same destination-sorted
+    global edge stream."""
+    import jax.numpy as jnp
+
+    slots = idx_row.shape[0]
+    n_pad, e_pad = bucket.num_nodes, bucket.num_edges
+    num_graphs_total = dev.node_start.shape[0] - 1
+
+    valid = idx_row >= 0
+    g = jnp.where(valid, idx_row, num_graphs_total)  # sentinel graph: 0 nodes
+
+    # per-slot node/edge extents within the batch
+    nc = dev.node_count[g]  # [slots]
+    ec = dev.edge_count[g]
+    node_off = jnp.concatenate([jnp.zeros(1, nc.dtype), jnp.cumsum(nc)])  # [slots+1]
+    edge_off = jnp.concatenate([jnp.zeros(1, ec.dtype), jnp.cumsum(ec)])
+
+    # --- nodes: position p belongs to the slot whose cumulative range
+    # contains p; past the total it is padding ---
+    pos = jnp.arange(n_pad, dtype=jnp.int32)
+    slot = jnp.searchsorted(node_off[1:], pos, side="right").astype(jnp.int32)
+    slot_c = jnp.minimum(slot, slots - 1)
+    in_graph = pos - node_off[slot_c]
+    node_mask = pos < node_off[slots]
+    src_row = dev.node_start[g[slot_c]] + in_graph
+    x = dev.x[jnp.where(node_mask, src_row, dev.x.shape[0] - 1)]
+    node_graph = jnp.where(node_mask, slot_c, slots).astype(jnp.int32)
+
+    # --- edges: same mapping over the edge extents ---
+    epos = jnp.arange(e_pad, dtype=jnp.int32)
+    eslot = jnp.searchsorted(edge_off[1:], epos, side="right").astype(jnp.int32)
+    eslot_c = jnp.minimum(eslot, slots - 1)
+    in_edge = epos - edge_off[eslot_c]
+    edge_mask = epos < edge_off[slots]
+    erow = jnp.where(edge_mask, dev.edge_start[g[eslot_c]] + in_edge, 0)
+    base = node_off[eslot_c].astype(jnp.int32)
+    edge_src = jnp.where(edge_mask, dev.edge_src[erow] + base, 0).astype(jnp.int32)
+    edge_dst = jnp.where(
+        edge_mask, dev.edge_dst[erow] + base, n_pad - 1
+    ).astype(jnp.int32)
+
+    y = jnp.where(valid, dev.y[g], 0).astype(jnp.int32)
+    graph_mask = valid.astype(jnp.float32)
+
+    return GraphBatch(
+        x=x,
+        edge_src=edge_src,
+        edge_dst=edge_dst,
+        edge_mask=edge_mask.astype(jnp.float32),
+        node_graph=node_graph,
+        node_mask=node_mask.astype(jnp.float32),
+        y=y,
+        graph_mask=graph_mask,
+        num_graphs=valid.sum().astype(jnp.int32),
+    )

@@ -79,9 +79,13 @@ class Config:
     graph_pad_multiple: int = 8
     # Compute dtype for the network ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
-    # COO epoch-fusion transfer budget: how many bytes of host-packed epochs
-    # to ship per fused multi-epoch dispatch (the dense path needs no budget
-    # — its dataset is device-resident and only index matrices transfer).
+    # COO batch assembly: "device" keeps the flattened graphset in HBM and
+    # assembles batches inside jit (one index-matrix transfer per epoch,
+    # like the dense path); "host" packs on the host (CPU/debug fallback).
+    coo_assembly: str = "device"
+    # Host-COO epoch-fusion transfer budget: how many bytes of host-packed
+    # epochs to ship per fused multi-epoch dispatch (device-resident
+    # layouts need no budget — only index matrices transfer).
     coo_fuse_bytes: int = 1 << 30
     # Device mesh: (data, graph) axis sizes. (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)
@@ -106,3 +110,5 @@ class Config:
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
+        if self.coo_assembly not in ("device", "host"):
+            raise ValueError(f"unknown coo_assembly {self.coo_assembly!r}")

@@ -211,6 +211,53 @@ class CooEngine(EngineBase):
         return params, opt_state, rng, np.concatenate(all_rows, axis=0)
 
 
+class DeviceCooEngine(EngineBase):
+    """Device-resident COO engine — the default for datasets too
+    large-grained for the dense layout (D&D): the flattened GraphSet lives
+    in HBM once (batching/device_coo.py), batches are assembled on device
+    from graph ids, and whole epoch ranges run as one fused program. An
+    epoch's host↔device traffic is one [steps, slots] int32 matrix —
+    the same contract as the dense engine, at O(nodes+edges) memory."""
+
+    def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
+                 optimizer: optax.GradientTransformation):
+        from dgcnn_tpu.batching.device_coo import build_device_graphset
+        from dgcnn_tpu.train.loop import make_device_coo_run
+
+        self.cfg = cfg
+        self._bucket = compute_bucket(
+            dataset, cfg.batch_size, cfg.node_pad_multiple,
+            cfg.edge_pad_multiple, cfg.graph_pad_multiple,
+        )
+        self._slots = self._bucket.num_graphs
+        self._dev = jax.device_put(build_device_graphset(dataset))
+        self._run = make_device_coo_run(model, optimizer, self._bucket,
+                                        cfg.spmm_impl)
+
+    def begin_fold(self, train_idx: np.ndarray, test_idx: np.ndarray) -> None:
+        self._train_idx = np.asarray(train_idx, dtype=np.int32)
+        self._test_order = jax.device_put(
+            order_matrix(
+                np.asarray(test_idx, np.int32), self.cfg.batch_size, self._slots
+            )
+        )
+
+    def run_epochs(self, params, opt_state, rng, perms: np.ndarray):
+        order3d = np.stack(
+            [
+                order_matrix(self._train_idx[p], self.cfg.batch_size, self._slots)
+                for p in perms
+            ]
+        )
+        params, opt_state, rng, rows = self._run(
+            params, opt_state, rng, self._dev, jax.device_put(order3d),
+            self._test_order,
+        )
+        return params, opt_state, rng, np.asarray(
+            jax.device_get(rows), dtype=np.float64
+        )
+
+
 class DenseEngine(EngineBase):
     """Epoch engine for the dense layout: the whole dataset lives on device
     in dense form (batching/dense.py DenseDataset); an epoch ships only the
@@ -383,8 +430,12 @@ def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
                 optimizer: optax.GradientTransformation, layout: str):
     if cfg.mesh_shape != (1, 1):
         cls = MeshDenseEngine if layout == "dense" else MeshCooEngine
+    elif layout == "dense":
+        cls = DenseEngine
+    elif cfg.coo_assembly == "device":
+        cls = DeviceCooEngine
     else:
-        cls = DenseEngine if layout == "dense" else CooEngine
+        cls = CooEngine
     return cls(cfg, dataset, model, optimizer)
 
 

@@ -143,6 +143,76 @@ def make_coo_run(
     return run
 
 
+def make_device_coo_run(
+    model: DGCNN,
+    optimizer: optax.GradientTransformation,
+    bucket,
+    spmm_impl: str = "xla",
+) -> Callable:
+    """FUSED multi-epoch runner over a device-resident COO graphset
+    (batching/device_coo.py) — the COO twin of `make_dense_gather_run`:
+    batches are assembled ON DEVICE from graph-id rows, so an epoch ships
+    one [steps, slots] int32 matrix and k epochs of train + eval run as a
+    single program.
+
+        run(params, opt_state, rng, dev, order3d, test_order2d)
+            → (params, opt_state, rng, rows [k, 4])
+    """
+    from dgcnn_tpu.batching.device_coo import gather_coo_batch
+
+    def train_step(dev):
+        def step(carry, idx_row):
+            params, opt_state, rng = carry
+            rng, dropout_rng = jax.random.split(rng)
+            batch = gather_coo_batch(dev, idx_row, bucket)
+
+            def loss_fn(p):
+                lp = apply(
+                    p, model, batch, deterministic=False,
+                    dropout_rng=dropout_rng, spmm_impl=spmm_impl,
+                )
+                return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, correct)
+
+        return step
+
+    @jax.jit
+    def run(params, opt_state, rng, dev, order3d, test_order2d):
+        def epoch(carry, order2d):
+            carry, (losses, corrects) = jax.lax.scan(
+                train_step(dev), carry, order2d
+            )
+            params = carry[0]
+
+            def eval_body(c, idx_row):
+                batch = gather_coo_batch(dev, idx_row, bucket)
+                lp = apply(
+                    params, model, batch, deterministic=True, spmm_impl=spmm_impl
+                )
+                return c, nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+            _, (te_losses, te_corrects) = jax.lax.scan(
+                eval_body, None, test_order2d
+            )
+            row = jnp.stack(
+                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
+            )
+            return carry, row
+
+        (params, opt_state, rng), rows = jax.lax.scan(
+            epoch, (params, opt_state, rng), order3d
+        )
+        return params, opt_state, rng, rows
+
+    return run
+
+
 def make_eval_epoch(model: DGCNN, spmm_impl: str = "xla") -> Callable:
     """Returns jitted `(params, batches) → (mean_loss, correct)` — the
     equivalent of the reference `test()` (train.py:49-66): eval mode
