@@ -222,24 +222,78 @@ class DeviceCooEngine(EngineBase):
     def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
                  optimizer: optax.GradientTransformation):
         from dgcnn_tpu.batching.device_coo import build_device_graphset
+        from dgcnn_tpu.batching.packer import BucketSpec
         from dgcnn_tpu.train.loop import make_device_coo_run
 
         self.cfg = cfg
-        self._bucket = compute_bucket(
+        self._model, self._optimizer = model, optimizer
+        self._BucketSpec = BucketSpec
+        self._make_run = make_device_coo_run
+        worst = compute_bucket(
             dataset, cfg.batch_size, cfg.node_pad_multiple,
             cfg.edge_pad_multiple, cfg.graph_pad_multiple,
         )
-        self._slots = self._bucket.num_graphs
+        self._slots = worst.num_graphs
+        # per-graph sizes for ADAPTIVE buckets: the worst-case bucket (sum
+        # of the batch_size largest graphs) over-pads skewed datasets like
+        # D&D ~7x; since batch composition is known on host before a chunk
+        # dispatches, size the bucket to the chunk's actual max batch
+        # instead (rounded up, so a handful of programs cover a run)
+        self._node_counts = dataset.node_counts().astype(np.int64)
+        self._edge_counts = dataset.edge_counts().astype(np.int64)
         self._dev = jax.device_put(build_device_graphset(dataset))
-        self._run = make_device_coo_run(model, optimizer, self._bucket,
-                                        cfg.spmm_impl)
+        self._runs = {}
+        # monotone bucket state: grow-only across chunks AND folds, so a
+        # whole CV run compiles 1-2 programs instead of one per fold
+        self._floor_nodes = cfg.node_pad_multiple
+        self._floor_edges = cfg.edge_pad_multiple
+
+    def _batch_extents(self, order2d: np.ndarray):
+        """Max (nodes, edges) over the batches of an order matrix."""
+        safe = np.maximum(order2d, 0)
+        valid = order2d >= 0
+        n = (self._node_counts[safe] * valid).sum(axis=1).max()
+        e = (self._edge_counts[safe] * valid).sum(axis=1).max()
+        return int(n), int(e)
+
+    @staticmethod
+    def _geom_round(x: int, multiple: int, ratio: float = 1.3) -> int:
+        """Round up onto a geometric grid (ratio steps, multiple-aligned):
+        bounds padding waste at `ratio` while keeping the number of
+        distinct compiled programs logarithmic in the size range."""
+        v = multiple
+        while v < x:
+            v = _round_up(int(v * ratio) + 1, multiple)
+        return v
+
+    def _bucket_for(self, *order_mats) -> "BucketSpec":
+        n = e = 1
+        for m in order_mats:
+            bn, be = self._batch_extents(m.reshape(-1, m.shape[-1]))
+            n, e = max(n, bn), max(e, be)
+        self._floor_nodes = max(
+            self._floor_nodes, self._geom_round(n, self.cfg.node_pad_multiple)
+        )
+        self._floor_edges = max(
+            self._floor_edges, self._geom_round(e, self.cfg.edge_pad_multiple)
+        )
+        return self._BucketSpec(
+            num_nodes=self._floor_nodes,
+            num_edges=self._floor_edges,
+            num_graphs=self._slots,
+        )
+
+    def _runner(self, bucket):
+        if bucket not in self._runs:
+            self._runs[bucket] = self._make_run(
+                self._model, self._optimizer, bucket, self.cfg.spmm_impl
+            )
+        return self._runs[bucket]
 
     def begin_fold(self, train_idx: np.ndarray, test_idx: np.ndarray) -> None:
         self._train_idx = np.asarray(train_idx, dtype=np.int32)
-        self._test_order = jax.device_put(
-            order_matrix(
-                np.asarray(test_idx, np.int32), self.cfg.batch_size, self._slots
-            )
+        self._test_order = order_matrix(
+            np.asarray(test_idx, np.int32), self.cfg.batch_size, self._slots
         )
 
     def run_epochs(self, params, opt_state, rng, perms: np.ndarray):
@@ -249,9 +303,10 @@ class DeviceCooEngine(EngineBase):
                 for p in perms
             ]
         )
-        params, opt_state, rng, rows = self._run(
+        bucket = self._bucket_for(order3d, self._test_order)
+        params, opt_state, rng, rows = self._runner(bucket)(
             params, opt_state, rng, self._dev, jax.device_put(order3d),
-            self._test_order,
+            jax.device_put(self._test_order),
         )
         return params, opt_state, rng, np.asarray(
             jax.device_get(rows), dtype=np.float64
