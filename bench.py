@@ -48,7 +48,7 @@ def _time_epochs(run_one_epoch, reps=5):
 
 
 # per-epoch GTX-1070 training seconds (reference README.md:128-138)
-REFERENCE_EPOCH_SECONDS = {"NCI1": 61.04, "COLLAB": 202.65}
+REFERENCE_EPOCH_SECONDS = {"NCI1": 61.04, "COLLAB": 202.65, "DD": 64.71}
 
 
 def _train_split(name):
@@ -102,44 +102,56 @@ def _bench_dense(train, epochs_per_dispatch=10):
 
 
 def _bench_coo(train, impl, epochs_per_dispatch=6):
-    """Fused COO training epochs (train/cv.py CooEngine.run_epochs path),
-    device-resident pre-packed batches, eval excluded; per-epoch time.
-    NOTE: host packing is excluded here — it overlaps the device work in
-    the real driver and is measured separately by the packer tests."""
+    """Fused device-resident COO training epochs — the framework's COO
+    path (train/cv.py DeviceCooEngine): the flattened graphset lives in
+    HBM, batches assemble on device, the bucket is adaptively sized to
+    the actual shuffled batches, and eval is excluded (the reference
+    "Training Time" rows time train() only). Per-epoch time."""
     import jax
-    import jax.tree_util as jtu
     import optax
 
-    from dgcnn_tpu.batching import compute_bucket, pack_epoch
+    from dgcnn_tpu.batching.dense import order_matrix
+    from dgcnn_tpu.batching.device_coo import build_device_graphset
+    from dgcnn_tpu.batching.packer import BucketSpec, compute_bucket
     from dgcnn_tpu.models.dgcnn import DGCNN, init_params
-    from dgcnn_tpu.train.loop import make_coo_run
+    from dgcnn_tpu.train.loop import make_device_coo_run
 
     model = DGCNN(num_features=train.num_features, num_classes=train.num_classes)
     params = init_params(jax.random.PRNGKey(324), model)
     optimizer = optax.adam(1e-3)
-    bucket = compute_bucket(train, 50)
+    slots = compute_bucket(train, 50).num_graphs
+    dev = jax.device_put(build_device_graphset(train))
     shuffle = np.random.default_rng(7)
-    no_eval = jtu.tree_map(
-        lambda a: a[:0], pack_epoch(train, np.arange(50), 50, bucket)
-    )
-    run = make_coo_run(model, optimizer, spmm_impl=impl)
-    st = {"p": params, "s": optimizer.init(params), "k": jax.random.PRNGKey(0)}
-    # pack once, outside the timed region; successive dispatches are not
-    # cacheable anyway because params/opt_state/rng evolve across reps
-    stacked = jax.device_put(
-        jtu.tree_map(
-            lambda *xs: np.stack(xs),
-            *[
-                pack_epoch(train, shuffle.permutation(train.num_graphs), 50, bucket)
-                for _ in range(epochs_per_dispatch)
-            ],
-        )
-    )
-    no_eval = jax.device_put(no_eval)
+    nc, ec = train.node_counts(), train.edge_counts()
 
-    def one_dispatch(_):
+    def epoch_orders(k):
+        return np.stack(
+            [
+                order_matrix(
+                    shuffle.permutation(train.num_graphs).astype(np.int32),
+                    50, slots,
+                )
+                for _ in range(k)
+            ]
+        )
+
+    # pre-generate every dispatch's orders, then size the adaptive bucket
+    # EXACTLY over them (same mechanism as DeviceCooEngine._bucket_for —
+    # an undersized bucket would silently truncate a batch)
+    dispatches = [epoch_orders(epochs_per_dispatch) for _ in range(7)]
+    sample = np.concatenate(dispatches).reshape(-1, slots)
+    safe, valid = np.maximum(sample, 0), sample >= 0
+    bn = int((nc[safe] * valid).sum(1).max())
+    be = int((ec[safe] * valid).sum(1).max())
+    bucket = BucketSpec(-(-bn // 256) * 256, -(-be // 1024) * 1024, slots)
+    run = make_device_coo_run(model, optimizer, bucket, impl)
+    no_eval = jax.device_put(np.full((0, slots), -1, np.int32))
+    st = {"p": params, "s": optimizer.init(params), "k": jax.random.PRNGKey(0)}
+
+    def one_dispatch(r):
         st["p"], st["s"], st["k"], rows = run(
-            st["p"], st["s"], st["k"], stacked, no_eval
+            st["p"], st["s"], st["k"], dev,
+            jax.device_put(dispatches[r + 1]), no_eval,
         )
         return rows[:, 0].sum()
 
@@ -186,6 +198,18 @@ def main():
             "epoch_ms": round(best * 1e3, 2),
             "edges_per_s": round(nci1_edges / best, 1),
         }
+
+    # DD — the large-graph dataset that cannot go dense; runs the
+    # device-resident COO engine path (stderr only)
+    dd_train, dd_meta = _train_split("DD")
+    dd_edges = _epoch_edges(dd_train)
+    best, _times = _bench_coo(dd_train, "xla")
+    sources["DD"] = dd_meta.source
+    detail["DD_device_coo"] = {
+        "epoch_ms": round(best * 1e3, 2),
+        "edges_per_s": round(dd_edges / best, 1),
+        "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
+    }
 
     # isolated SpMM %-of-SoL on NCI1 mega-batch shapes (BASELINE metric)
     from dgcnn_tpu.utils.profiling import spmm_microbench

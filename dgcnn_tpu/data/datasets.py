@@ -121,10 +121,23 @@ def load_dataset(
         return gs, DatasetMeta(name, source, raw)
 
     if allow_synthetic:
-        return (
-            synthesize_tu_dataset(name),
-            DatasetMeta(name, "synthetic"),
+        # synthetic datasets cache separately from real ones (never under
+        # the real cache path, so adding real data later wins), keyed by
+        # generator defaults — regeneration is O(10s) for COLLAB/DD
+        synth_cache = os.path.join(
+            root, name, "processed", f"{name}_synthetic.npz"
         )
+        if os.path.exists(synth_cache):
+            return GraphSet.from_npz(synth_cache), DatasetMeta(
+                name, "synthetic", synth_cache
+            )
+        gs = synthesize_tu_dataset(name)
+        try:
+            os.makedirs(os.path.dirname(synth_cache), exist_ok=True)
+            gs.to_npz(synth_cache)
+        except OSError:
+            pass
+        return gs, DatasetMeta(name, "synthetic")
     raise FileNotFoundError(
         f"dataset {name!r}: no cache at {cache}, no raw files at {raw}, and "
         f"download unavailable. Place the TU files under {raw}/ (see "
