@@ -255,6 +255,107 @@ def make_dense_dp_run(model: DGCNN, optimizer: optax.GradientTransformation,
     return run
 
 
+def _make_device_coo_dp_loss(model: DGCNN, mesh: Mesh, bucket, spmm_impl: str,
+                             deterministic: bool) -> Callable:
+    """(params, dev, idx_rows [n_data, slots_local], rng) → replicated
+    (global mean loss, correct). Each "data"-axis device assembles its own
+    sub-batch ON DEVICE from the replicated DeviceGraphSet
+    (batching/device_coo.py); each "graph"-axis device aggregates its
+    contiguous chunk of the sub-batch's dst-sorted edge stream, psum'd per
+    GCN layer (the spmm edge_axis path)."""
+    import dataclasses as _dc
+
+    from dgcnn_tpu.batching.device_coo import gather_coo_batch
+
+    n_graph = mesh.shape["graph"]
+    if bucket.num_edges % n_graph:
+        raise ValueError(f"bucket edges {bucket.num_edges} % n_graph {n_graph}")
+    chunk = bucket.num_edges // n_graph
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P()),
+        out_specs=(P(), P()),
+    )
+    def f(params, dev, idx_row, rng):
+        batch = gather_coo_batch(dev, idx_row[0], bucket)
+        gi = jax.lax.axis_index("graph")
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, gi * chunk, chunk)
+        local = _dc.replace(
+            batch,
+            edge_src=sl(batch.edge_src),
+            edge_dst=sl(batch.edge_dst),
+            edge_mask=sl(batch.edge_mask),
+        )
+        dropout_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        lp = apply(
+            params,
+            model,
+            local,
+            deterministic=deterministic,
+            dropout_rng=None if deterministic else dropout_rng,
+            spmm_impl=spmm_impl,
+            edge_axis="graph",
+        )
+        loss_sum, correct = _loss_terms(lp, local.y, local.graph_mask)
+        total = jnp.maximum(jax.lax.psum(local.graph_mask.sum(), "data"), 1.0)
+        loss = jax.lax.psum(loss_sum, "data") / total
+        correct = jax.lax.psum(correct, "data")
+        return jax.lax.pmean(loss, "graph"), jax.lax.pmean(correct, "graph")
+
+    return f
+
+
+def make_device_coo_dp_run(model: DGCNN, optimizer: optax.GradientTransformation,
+                           mesh: Mesh, bucket, spmm_impl: str = "xla") -> Callable:
+    """FUSED multi-epoch mesh runner over a replicated device-resident COO
+    graphset — the multi-chip twin of train/loop.py make_device_coo_run.
+
+        run(params, opt_state, rng, dev, order4d, test_order3d)
+            → (params, opt_state, rng, rows [k, 4])
+
+    order4d: [k, steps, n_data, slots_local] int32, sharded
+    P(None, None, "data"); test_order3d: [t_steps, n_data, slots_local]."""
+    train_loss = _make_device_coo_dp_loss(model, mesh, bucket, spmm_impl, False)
+    eval_loss = _make_device_coo_dp_loss(model, mesh, bucket, spmm_impl, True)
+    dummy = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(params, opt_state, rng, dev, order4d, test_order3d):
+        def train_step(carry, idx_rows):
+            params, opt_state, rng = carry
+            rng, sub = jax.random.split(rng)
+            (loss, correct), grads = jax.value_and_grad(
+                lambda p: train_loss(p, dev, idx_rows, sub), has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, correct)
+
+        def epoch(carry, order3d):
+            carry, (losses, corrects) = jax.lax.scan(train_step, carry, order3d)
+            params = carry[0]
+
+            def eval_body(c, idx_rows):
+                return c, eval_loss(params, dev, idx_rows, dummy)
+
+            _, (te_losses, te_corrects) = jax.lax.scan(
+                eval_body, None, test_order3d
+            )
+            row = jnp.stack(
+                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
+            )
+            return carry, row
+
+        (params, opt_state, rng), rows = jax.lax.scan(
+            epoch, (params, opt_state, rng), order4d
+        )
+        return params, opt_state, rng, rows
+
+    return run
+
+
 def device_put_epoch(batches, mesh: Mesh):
     """Place a packed epoch on the mesh with the canonical shardings."""
     specs = batch_pspecs(scan_axis=True)

@@ -418,6 +418,102 @@ class MeshCooEngine(EngineBase):
         return self._eval(params, self._test_batches)
 
 
+class MeshDeviceCooEngine(EngineBase):
+    """Mesh-sharded device-resident COO engine: the DeviceGraphSet is
+    replicated across the mesh; each "data"-axis device assembles its
+    LPT-balanced sub-batch on device and each "graph"-axis device
+    aggregates its contiguous edge chunk (psum per layer). Whole epoch
+    ranges fuse into one dispatch; host traffic per epoch is one
+    [steps, n_data, slots] int32 tensor. Adaptive grow-only buckets as in
+    DeviceCooEngine."""
+
+    def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
+                 optimizer: optax.GradientTransformation):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dgcnn_tpu.batching.device_coo import build_device_graphset
+        from dgcnn_tpu.batching.packer import BucketSpec
+        from dgcnn_tpu.parallel import make_mesh
+        from dgcnn_tpu.parallel.shard import lpt_assign
+        from dgcnn_tpu.parallel.train_dp import make_device_coo_dp_run
+
+        self.cfg = cfg
+        self._model, self._optimizer = model, optimizer
+        self._BucketSpec = BucketSpec
+        self._lpt = lpt_assign
+        self._make_run = make_device_coo_dp_run
+        self.n_data, self.n_graph = cfg.mesh_shape
+        self.mesh = make_mesh(cfg.mesh_shape)
+        self._slots = max(1, -(-cfg.batch_size // self.n_data))
+        self._node_counts = dataset.node_counts().astype(np.int64)
+        self._edge_counts = dataset.edge_counts().astype(np.int64)
+        self._dev = jax.device_put(
+            build_device_graphset(dataset), NamedSharding(self.mesh, P())
+        )
+        self._o3_sharding = NamedSharding(self.mesh, P(None, "data"))
+        self._o4_sharding = NamedSharding(self.mesh, P(None, None, "data"))
+        self._runs = {}
+        self._floor_nodes = cfg.node_pad_multiple
+        # edge chunks must divide evenly across the graph axis
+        self._edge_multiple = cfg.edge_pad_multiple * self.n_graph
+        self._floor_edges = self._edge_multiple
+
+    def _batch_rows(self, ids: np.ndarray) -> np.ndarray:
+        """One global batch → [n_data, slots]: LPT node balance, capped."""
+        out = np.full((self.n_data, self._slots), -1, np.int32)
+        groups = self._lpt(self._node_counts[ids], self.n_data, self._slots)
+        for d, g in enumerate(groups):
+            out[d, : len(g)] = ids[g]
+        return out
+
+    def _epoch_order(self, ids_seq: np.ndarray) -> np.ndarray:
+        bs = self.cfg.batch_size
+        return np.stack(
+            [
+                self._batch_rows(ids_seq[i : i + bs])
+                for i in range(0, len(ids_seq), bs)
+            ]
+        )
+
+    def _bucket_for(self, *order_mats) -> "BucketSpec":
+        geom = DeviceCooEngine._geom_round
+        n = e = 1
+        for m in order_mats:
+            rows = m.reshape(-1, m.shape[-1])
+            safe, valid = np.maximum(rows, 0), rows >= 0
+            n = max(n, int((self._node_counts[safe] * valid).sum(axis=1).max()))
+            e = max(e, int((self._edge_counts[safe] * valid).sum(axis=1).max()))
+        self._floor_nodes = max(
+            self._floor_nodes, geom(n, self.cfg.node_pad_multiple)
+        )
+        self._floor_edges = max(self._floor_edges, geom(e, self._edge_multiple))
+        return self._BucketSpec(self._floor_nodes, self._floor_edges, self._slots)
+
+    def _runner(self, bucket):
+        if bucket not in self._runs:
+            self._runs[bucket] = self._make_run(
+                self._model, self._optimizer, self.mesh, bucket,
+                self.cfg.spmm_impl,
+            )
+        return self._runs[bucket]
+
+    def begin_fold(self, train_idx: np.ndarray, test_idx: np.ndarray) -> None:
+        self._train_idx = np.asarray(train_idx, dtype=np.int64)
+        self._test_order = self._epoch_order(np.asarray(test_idx, np.int64))
+
+    def run_epochs(self, params, opt_state, rng, perms: np.ndarray):
+        order4d = np.stack([self._epoch_order(self._train_idx[p]) for p in perms])
+        bucket = self._bucket_for(order4d, self._test_order)
+        params, opt_state, rng, rows = self._runner(bucket)(
+            params, opt_state, rng, self._dev,
+            jax.device_put(order4d, self._o4_sharding),
+            jax.device_put(self._test_order, self._o3_sharding),
+        )
+        return params, opt_state, rng, np.asarray(
+            jax.device_get(rows), dtype=np.float64
+        )
+
+
 class MeshDenseEngine(EngineBase):
     """Mesh-sharded dense engine: the DenseDataset is replicated across the
     mesh and each data-axis device gathers its round-robin share of every
@@ -484,7 +580,12 @@ class MeshDenseEngine(EngineBase):
 def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
                 optimizer: optax.GradientTransformation, layout: str):
     if cfg.mesh_shape != (1, 1):
-        cls = MeshDenseEngine if layout == "dense" else MeshCooEngine
+        if layout == "dense":
+            cls = MeshDenseEngine
+        elif cfg.coo_assembly == "device":
+            cls = MeshDeviceCooEngine
+        else:
+            cls = MeshCooEngine
     elif layout == "dense":
         cls = DenseEngine
     elif cfg.coo_assembly == "device":

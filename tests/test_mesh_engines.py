@@ -78,3 +78,64 @@ def test_dense_dp_eval_matches_single_device():
     )
     np.testing.assert_allclose(got_loss, want_loss, rtol=1e-5)
     assert got_correct == want_correct
+
+
+@pytest.mark.parametrize("mesh", [(2, 2), (4, 2)])
+def test_cv_runs_on_mesh_host_coo(tmp_path, mesh):
+    """The host-packing mesh COO engine stays available as a fallback."""
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=48, seed=5)
+    result = run_cross_validation(
+        _cfg(tmp_path, mesh_shape=mesh, layout="coo", coo_assembly="host"),
+        dataset=gs,
+    )
+    assert len(result["test_accuracies"]) == 2
+    assert all(np.isfinite(a) for a in result["test_accuracies"])
+
+
+@pytest.mark.parametrize("mesh", [(4, 1), (2, 2), (1, 4)])
+def test_device_coo_dp_eval_matches_single_chip(mesh):
+    """Deterministic loss under the device-resident mesh COO engine equals
+    the single-chip device-COO path on the same global batch — exact
+    global-batch semantics under DP x edge partitioning."""
+    import optax
+
+    from dgcnn_tpu.batching import compute_bucket, pack_batch
+    from dgcnn_tpu.batching.packer import BucketSpec
+    from dgcnn_tpu.batching.device_coo import build_device_graphset
+    from dgcnn_tpu.models.dgcnn import DGCNN, apply, init_params
+    from dgcnn_tpu.parallel import make_mesh
+    from dgcnn_tpu.parallel.shard import lpt_assign
+    from dgcnn_tpu.parallel.train_dp import _make_device_coo_dp_loss
+    from dgcnn_tpu.train.loop import nll_loss_and_correct
+
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=24, seed=3)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    params = init_params(jax.random.PRNGKey(2), model)
+    idx = np.arange(20)
+
+    # single-device reference (host packer — bit-equal to device assembly)
+    b1 = jax.device_put(pack_batch(gs, idx, compute_bucket(gs, 20)))
+    lp = apply(params, model, b1)
+    want_loss, want_correct = jax.device_get(
+        nll_loss_and_correct(lp, b1.y, b1.graph_mask)
+    )
+
+    n_data, n_graph = mesh
+    m = make_mesh(mesh)
+    slots = -(-len(idx) // n_data)
+    rows = np.full((n_data, slots), -1, np.int32)
+    for d, g in enumerate(lpt_assign(gs.node_counts()[idx], n_data, slots)):
+        rows[d, : len(g)] = idx[g]
+    nc, ec = gs.node_counts(), gs.edge_counts()
+    bn = int(nc[np.maximum(rows, 0)].sum(1).max())
+    be = int(ec[np.maximum(rows, 0)].sum(1).max())
+    bucket = BucketSpec(
+        -(-bn // 64) * 64, -(-be // (64 * n_graph)) * (64 * n_graph), slots
+    )
+    dev = jax.device_put(build_device_graphset(gs))
+    loss_fn = _make_device_coo_dp_loss(model, m, bucket, "xla", True)
+    got_loss, got_correct = jax.device_get(
+        jax.jit(loss_fn)(params, dev, rows, jax.random.PRNGKey(0))
+    )
+    np.testing.assert_allclose(got_loss, want_loss, rtol=1e-5, err_msg=str(mesh))
+    assert got_correct == want_correct, mesh
