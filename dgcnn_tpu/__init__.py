@@ -21,6 +21,28 @@ into the reference repo.
 
 __version__ = "0.1.0"
 
-from dgcnn_tpu.config import Config
+from dgcnn_tpu.config import DATASETS, Config
 
-__all__ = ["Config", "__version__"]
+# Lazy top-level API (PEP 562): keeps `import dgcnn_tpu` light — the heavy
+# JAX/optax imports only happen when a symbol is first touched.
+_LAZY = {
+    "GraphSet": "dgcnn_tpu.data.graphset",
+    "load_dataset": "dgcnn_tpu.data.datasets",
+    "synthesize_tu_dataset": "dgcnn_tpu.data.synthetic",
+    "DGCNN": "dgcnn_tpu.models.dgcnn",
+    "apply": "dgcnn_tpu.models.dgcnn",
+    "init_params": "dgcnn_tpu.models.dgcnn",
+    "num_params": "dgcnn_tpu.models.dgcnn",
+    "run_cross_validation": "dgcnn_tpu.train.cv",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["Config", "DATASETS", "__version__", *sorted(_LAZY)]
