@@ -79,6 +79,12 @@ class Config:
     graph_pad_multiple: int = 8
     # Compute dtype for the network ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
+    # Upper bound on epochs fused into ONE device program dispatch. Fusion
+    # amortizes the ~tens-of-ms dispatch latency, but an unbounded fold
+    # (100 epochs of a big dataset) becomes a multi-minute single dispatch
+    # — long enough to trip remote-worker RPC deadlines, and it defers
+    # metrics/checkpoints. 25 keeps dispatches in the seconds range.
+    max_fused_epochs: int = 25
     # COO batch assembly: "device" keeps the flattened graphset in HBM and
     # assembles batches inside jit (one index-matrix transfer per epoch,
     # like the dense path); "host" packs on the host (CPU/debug fallback).

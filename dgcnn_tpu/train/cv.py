@@ -655,6 +655,8 @@ def run_fold(
     epoch = start_epoch
     while epoch <= cfg.num_epochs:
         k = cfg.num_epochs - epoch + 1
+        if cfg.max_fused_epochs:
+            k = min(k, cfg.max_fused_epochs)
         if cfg.checkpoint_every:
             k = min(
                 k,
