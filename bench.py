@@ -136,14 +136,15 @@ def _bench_coo(train, impl, epochs_per_dispatch=6):
         )
 
     # pre-generate every dispatch's orders, then size the adaptive bucket
-    # EXACTLY over them (same mechanism as DeviceCooEngine._bucket_for —
-    # an undersized bucket would silently truncate a batch)
+    # EXACTLY over them (shared helper with DeviceCooEngine; an undersized
+    # bucket would silently truncate a batch — assert_bucket_fits guards)
+    from dgcnn_tpu.batching.device_coo import assert_bucket_fits, batch_extents
+
     dispatches = [epoch_orders(epochs_per_dispatch) for _ in range(7)]
-    sample = np.concatenate(dispatches).reshape(-1, slots)
-    safe, valid = np.maximum(sample, 0), sample >= 0
-    bn = int((nc[safe] * valid).sum(1).max())
-    be = int((ec[safe] * valid).sum(1).max())
+    bn, be = batch_extents(nc, ec, np.concatenate(dispatches))
     bucket = BucketSpec(-(-bn // 256) * 256, -(-be // 1024) * 1024, slots)
+    for d in dispatches:
+        assert_bucket_fits(nc, ec, d, bucket)
     run = make_device_coo_run(model, optimizer, bucket, impl)
     no_eval = jax.device_put(np.full((0, slots), -1, np.int32))
     st = {"p": params, "s": optimizer.init(params), "k": jax.random.PRNGKey(0)}

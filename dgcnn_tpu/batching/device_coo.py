@@ -110,6 +110,38 @@ def build_device_graphset(dataset: GraphSet) -> DeviceGraphSet:
     )
 
 
+def batch_extents(
+    node_counts: np.ndarray, edge_counts: np.ndarray, order_mat: np.ndarray
+) -> tuple:
+    """Max (nodes, edges) over the batch rows of an order matrix/tensor
+    (last axis = graph slots, −1 padding). The single source of truth for
+    bucket sizing — `gather_coo_batch` cannot raise inside jit, so hosts
+    MUST size buckets from this before dispatch (see assert_bucket_fits)."""
+    rows = np.asarray(order_mat).reshape(-1, order_mat.shape[-1])
+    safe = np.maximum(rows, 0)
+    valid = rows >= 0
+    n = int((np.asarray(node_counts)[safe] * valid).sum(axis=1).max())
+    e = int((np.asarray(edge_counts)[safe] * valid).sum(axis=1).max())
+    return n, e
+
+
+def assert_bucket_fits(
+    node_counts: np.ndarray,
+    edge_counts: np.ndarray,
+    order_mat: np.ndarray,
+    bucket: BucketSpec,
+) -> None:
+    """Host-side overflow guard (the equivalent of pack_batch's ValueError
+    — on-device assembly would silently truncate instead)."""
+    n, e = batch_extents(node_counts, edge_counts, order_mat)
+    if n > bucket.num_nodes or e > bucket.num_edges:
+        raise ValueError(
+            f"batch of {n} nodes / {e} edges overflows bucket {bucket} "
+            f"(edge counts may include self-loops stripped at build time, "
+            f"so the edge bound is conservative)"
+        )
+
+
 def device_graphset_bytes(dataset: GraphSet) -> int:
     return (
         (dataset.total_nodes + 1) * dataset.num_features * 4

@@ -68,29 +68,38 @@ def _has_raw(raw: str, name: str) -> bool:
 
 
 def _download(root: str, name: str) -> bool:
-    """Fetch + extract the TU zip. Returns False on any network failure
-    (the build environment has zero egress; callers fall through)."""
+    """Fetch + extract the TU zip. Returns False on any failure — network,
+    truncated/bad zip, or unexpected archive layout — so callers always
+    fall through to the documented offline paths. Scratch files are
+    cleaned up either way."""
+    import shutil
     import urllib.request
 
     url = TU_URL.format(name=name)
     zip_path = os.path.join(root, name, f"{name}.zip")
+    extract_root = os.path.join(root, name, "_extract")
     os.makedirs(os.path.dirname(zip_path), exist_ok=True)
     try:
         with urllib.request.urlopen(url, timeout=30) as r, open(zip_path, "wb") as f:
             f.write(r.read())
+        with zipfile.ZipFile(zip_path) as z:
+            # zips contain a top-level <name>/ directory with the txt files
+            z.extractall(extract_root)
+        src = os.path.join(extract_root, name)
+        raw = _raw_dir(root, name)
+        os.makedirs(raw, exist_ok=True)
+        for fn in os.listdir(src):
+            os.replace(os.path.join(src, fn), os.path.join(raw, fn))
+        return _has_raw(raw, name)
     except Exception:
         return False
-    with zipfile.ZipFile(zip_path) as z:
-        # zips contain a top-level <name>/ directory with the txt files
-        extract_root = os.path.join(root, name, "_extract")
-        z.extractall(extract_root)
-    src = os.path.join(extract_root, name)
-    raw = _raw_dir(root, name)
-    os.makedirs(raw, exist_ok=True)
-    for fn in os.listdir(src):
-        os.replace(os.path.join(src, fn), os.path.join(raw, fn))
-    os.remove(zip_path)
-    return True
+    finally:
+        for p in (zip_path,):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        shutil.rmtree(extract_root, ignore_errors=True)
 
 
 def load_dataset(

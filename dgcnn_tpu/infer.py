@@ -55,7 +55,7 @@ def predict_dataset(
         _, lps = jax.lax.scan(body, None, order2d)
         return lps  # [steps, slots, C]
 
-    lps = np.asarray(jax.device_get(run(params, jax.device_put(dev), order2d)))
+    lps = np.asarray(jax.device_get(run(params, dev, order2d)))
     flat = lps.reshape(-1, lps.shape[-1])[: len(order2d.reshape(-1))]
     keep = order2d.reshape(-1) >= 0
     out = np.empty((dataset.num_graphs, lps.shape[-1]), np.float32)

@@ -138,14 +138,14 @@ def _pooled_to_log_probs(
     feats = conv1d_readout(
         pooled,
         params["conv5"]["w"].astype(dt),
-        params["conv5"]["b"].astype(dt),
+        params["conv5"]["b"],
         params["conv6"]["w"].astype(dt),
-        params["conv6"]["b"].astype(dt),
+        params["conv6"]["b"],
     )
     acts["readout"] = feats
 
     h = jax.nn.relu(
-        jnp.dot(feats, params["lin1"]["w"].astype(dt),
+        jnp.dot(feats.astype(dt), params["lin1"]["w"].astype(dt),
                 preferred_element_type=jnp.float32)
         + params["lin1"]["b"]
     )

@@ -25,15 +25,22 @@ import jax.numpy as jnp
 
 
 def conv1d_readout(
-    pooled: jax.Array,  # [B, k, C]
-    w5: jax.Array,  # [C, c5]
-    b5: jax.Array,  # [c5]
-    w6: jax.Array,  # [width, c5, c6]  ('HIO')
-    b6: jax.Array,  # [c6]
+    pooled: jax.Array,  # [B, k, C] — in the model's compute dtype
+    w5: jax.Array,  # [C, c5] — cast to the compute dtype by the caller
+    b5: jax.Array,  # [c5] — fp32 (biases stay fp32 under mixed precision)
+    w6: jax.Array,  # [width, c5, c6]  ('HIO') — compute dtype
+    b6: jax.Array,  # [c6] — fp32
 ) -> jax.Array:
-    """Returns flattened readout features [B, T*c6]."""
+    """Returns flattened readout features [B, T*c6]. Matmul/conv operands
+    run in `pooled.dtype` with explicit fp32 accumulation — the same
+    mixed-precision policy as the GCN stack and the MLP head
+    (models/dgcnn.py)."""
+    dt = pooled.dtype
     # conv5 == per-node dot product → MXU matmul. [B, k, C] @ [C, c5]
-    h = jnp.einsum("bkc,cf->bkf", pooled, w5) + b5
+    h = (
+        jnp.einsum("bkc,cf->bkf", pooled, w5, preferred_element_type=jnp.float32)
+        + b5
+    )
     h = jax.nn.relu(h)
 
     # MaxPool1d(2, 2) over the node axis (reference model.py:20,38).
@@ -47,8 +54,12 @@ def conv1d_readout(
     )
 
     # conv6: channels-last 1-D convolution (reference model.py:19,39).
+    # Operands share the compute dtype WITHOUT preferred_element_type —
+    # jax's conv transpose rule cannot differentiate a mixed-precision
+    # conv, and the TPU convolution accumulates in fp32 internally either
+    # way; the fp32 bias-add upcasts the result.
     h = jax.lax.conv_general_dilated(
-        h,
+        h.astype(dt),
         w6,
         window_strides=(1,),
         padding="VALID",

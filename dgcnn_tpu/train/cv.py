@@ -248,14 +248,6 @@ class DeviceCooEngine(EngineBase):
         self._floor_nodes = cfg.node_pad_multiple
         self._floor_edges = cfg.edge_pad_multiple
 
-    def _batch_extents(self, order2d: np.ndarray):
-        """Max (nodes, edges) over the batches of an order matrix."""
-        safe = np.maximum(order2d, 0)
-        valid = order2d >= 0
-        n = (self._node_counts[safe] * valid).sum(axis=1).max()
-        e = (self._edge_counts[safe] * valid).sum(axis=1).max()
-        return int(n), int(e)
-
     @staticmethod
     def _geom_round(x: int, multiple: int, ratio: float = 1.3) -> int:
         """Round up onto a geometric grid (ratio steps, multiple-aligned):
@@ -267,9 +259,11 @@ class DeviceCooEngine(EngineBase):
         return v
 
     def _bucket_for(self, *order_mats) -> "BucketSpec":
+        from dgcnn_tpu.batching.device_coo import batch_extents
+
         n = e = 1
         for m in order_mats:
-            bn, be = self._batch_extents(m.reshape(-1, m.shape[-1]))
+            bn, be = batch_extents(self._node_counts, self._edge_counts, m)
             n, e = max(n, bn), max(e, be)
         self._floor_nodes = max(
             self._floor_nodes, self._geom_round(n, self.cfg.node_pad_multiple)
@@ -476,13 +470,13 @@ class MeshDeviceCooEngine(EngineBase):
         )
 
     def _bucket_for(self, *order_mats) -> "BucketSpec":
+        from dgcnn_tpu.batching.device_coo import batch_extents
+
         geom = DeviceCooEngine._geom_round
         n = e = 1
         for m in order_mats:
-            rows = m.reshape(-1, m.shape[-1])
-            safe, valid = np.maximum(rows, 0), rows >= 0
-            n = max(n, int((self._node_counts[safe] * valid).sum(axis=1).max()))
-            e = max(e, int((self._edge_counts[safe] * valid).sum(axis=1).max()))
+            bn, be = batch_extents(self._node_counts, self._edge_counts, m)
+            n, e = max(n, bn), max(e, be)
         self._floor_nodes = max(
             self._floor_nodes, geom(n, self.cfg.node_pad_multiple)
         )
@@ -685,6 +679,10 @@ def run_fold(
                 test_accuracy=test_acc,
                 epoch_seconds=dt,
                 edges_per_second=train_edges / dt if dt > 0 else 0.0,
+                # dt is the chunk wall-clock amortized over its epochs, so
+                # every epoch of a chunk that compiled carries a share of
+                # the compile time; consumers can filter on this field
+                chunk_epochs=k,
             )
             if cfg.log_every and (epoch + j) % cfg.log_every == 0:
                 print(

@@ -42,8 +42,20 @@ def save_checkpoint(path: str, bundle: Any) -> None:
 
 def load_checkpoint(path: str, like: Any) -> Any:
     """Restore a bundle saved by `save_checkpoint`, using `like` (a pytree of
-    the same structure) as the structure donor."""
+    the same structure) as the structure donor. Raises ValueError when the
+    on-disk bundle's leaf count disagrees with `like` — positional leaf
+    loading would otherwise silently scramble a structurally different
+    bundle into the donor tree."""
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    manifest = path + ".treedef.json"
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            num_saved = json.load(f)["num_leaves"]
+        if num_saved != len(leaves_like):
+            raise ValueError(
+                f"{path}: checkpoint has {num_saved} leaves, expected "
+                f"{len(leaves_like)} — wrong bundle kind for this donor"
+            )
     with np.load(path + ".npz") as z:
         leaves = [z[f"leaf_{i}"] for i in range(len(leaves_like))]
     return jax.tree_util.tree_unflatten(treedef, leaves)

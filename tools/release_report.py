@@ -30,6 +30,10 @@ REFERENCE = {
 
 
 def median_epoch_seconds(events_path: str) -> float:
+    """Median per-epoch seconds across the run. epoch_seconds is
+    chunk-amortized (train/cv.py), so the first fused chunk's rows carry a
+    share of one-time XLA compile time — the median is robust to that for
+    full-length runs (≤25 inflated rows out of 1000)."""
     vals = []
     with open(events_path) as f:
         for line in f:
