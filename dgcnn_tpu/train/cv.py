@@ -768,7 +768,20 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
     engine = make_engine(cfg, dataset, model, optimizer, layout)
 
     train_accs, test_accs = [], []
-    for fold_number, (train_idx, test_idx) in enumerate(folds, start=1):
+    # fold progress bar with last-fold accuracy, like the reference's
+    # tqdm wrapper (reference train.py:92,140)
+    try:
+        from tqdm import tqdm
+
+        fold_iter = tqdm(
+            list(enumerate(folds, start=1)),
+            desc=f"processing {cfg.data_type}",
+            unit="fold",
+        )
+    except ImportError:
+        fold_iter = list(enumerate(folds, start=1))
+        tqdm = None
+    for fold_number, (train_idx, test_idx) in fold_iter:
         csv_path = os.path.join(
             cfg.statistics_dir, f"{cfg.data_type}_results_{fold_number}.csv"
         )
@@ -793,6 +806,8 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
             f"[{fold_number}] Train Acc: {train_accs[-1]:.2f}% "
             f"Test Acc: {test_accs[-1]:.2f}% ({dt:.1f}s)"
         )
+        if tqdm is not None:
+            fold_iter.set_postfix(test_acc=f"{test_accs[-1]:.2f}%")
 
     write_overall_csv(
         os.path.join(cfg.statistics_dir, f"{cfg.data_type}_results_overall.csv"),
