@@ -79,6 +79,20 @@ class Config:
     graph_pad_multiple: int = 8
     # Compute dtype for the network ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
+    # Cross-validation execution: "folds" trains all K folds in LOCKSTEP
+    # via vmap over a fold axis (near-K× throughput on small datasets —
+    # per-fold protocol and metrics are unchanged, see train/cv_vmap.py);
+    # "sequential" runs folds one at a time; "auto" picks lockstep for the
+    # single-chip dense layout when per-fold resume isn't requested
+    # (lockstep folds can't resume individually).
+    cv_parallel: str = "auto"
+    # auto-lockstep gate: train folds in lockstep only while the stacked
+    # per-step dense working set (folds × slots × n_tile × (n_tile + F) ×
+    # 4 B) stays under this. Small datasets are per-step-overhead-bound
+    # (lockstep wins, e.g. NCI1 9.5→6.4 ms/fold-epoch); big dense
+    # datasets like COLLAB are bandwidth-bound and lockstep merely
+    # multiplies traffic (29→96 ms/fold-epoch — measured).
+    lockstep_max_step_bytes: int = 64 << 20
     # Upper bound on epochs fused into ONE device program dispatch. Fusion
     # amortizes the ~tens-of-ms dispatch latency, but an unbounded fold
     # (100 epochs of a big dataset) becomes a multi-minute single dispatch
@@ -95,6 +109,11 @@ class Config:
     coo_fuse_bytes: int = 1 << 30
     # Device mesh: (data, graph) axis sizes. (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)
+
+    # Persistent XLA compilation cache directory ("" = disabled). Fused
+    # epoch programs take 30-120 s to compile; with the cache, repeat runs
+    # of the same dataset/shape skip compilation entirely.
+    xla_cache_dir: str = "~/.cache/dgcnn_tpu/xla"
 
     # -- artifacts (reference train.py:129-131, 144-145) --
     epochs_dir: str = "epochs"
@@ -118,3 +137,5 @@ class Config:
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
         if self.coo_assembly not in ("device", "host"):
             raise ValueError(f"unknown coo_assembly {self.coo_assembly!r}")
+        if self.cv_parallel not in ("auto", "folds", "sequential"):
+            raise ValueError(f"unknown cv_parallel {self.cv_parallel!r}")

@@ -721,9 +721,25 @@ def run_fold(
     return metrics
 
 
+def _enable_compile_cache(cfg: Config) -> None:
+    """Persistent XLA compilation cache: the fused epoch programs compile
+    in 30-120 s, so repeat runs at the same shapes should never recompile.
+    Best-effort — harmless to skip on read-only filesystems."""
+    if not cfg.xla_cache_dir:
+        return
+    try:
+        path = os.path.expanduser(cfg.xla_cache_dir)
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        print(f"(compilation cache disabled: {e})")
+
+
 def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_synthetic: bool = False):
     """Full experiment — the equivalent of `python train.py` in the
     reference. Returns a result dict with per-fold and aggregate metrics."""
+    _enable_compile_cache(cfg)
     if dataset is None:
         dataset, meta = load_dataset(
             cfg.data_type,
@@ -765,6 +781,35 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
     optimizer = optax.adam(
         cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps
     )
+
+    # fold-lockstep execution (train/cv_vmap.py): near-K× throughput for
+    # small-dataset CV; per-fold resume needs the sequential driver, and
+    # bandwidth-bound datasets (big n_tile) get slower, not faster —
+    # see Config.lockstep_max_step_bytes
+    slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
+    lockstep_step_bytes = (
+        cfg.num_folds
+        * slots
+        * dense_tile(dataset)
+        * (dense_tile(dataset) + dataset.num_features)
+        * 4
+    )
+    use_lockstep = cfg.cv_parallel == "folds" or (
+        cfg.cv_parallel == "auto"
+        and layout == "dense"
+        and cfg.mesh_shape == (1, 1)
+        and not cfg.checkpoint_resume
+        and not cfg.checkpoint_every
+        and lockstep_step_bytes <= cfg.lockstep_max_step_bytes
+    )
+    if use_lockstep:
+        from dgcnn_tpu.train.cv_vmap import run_cv_folds_vmap
+
+        train_accs, test_accs = run_cv_folds_vmap(
+            cfg, dataset, model, optimizer, folds, events
+        )
+        return _finalize_cv(cfg, events, train_accs, test_accs)
+
     engine = make_engine(cfg, dataset, model, optimizer, layout)
 
     train_accs, test_accs = [], []
@@ -809,6 +854,12 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
         if tqdm is not None:
             fold_iter.set_postfix(test_acc=f"{test_accs[-1]:.2f}%")
 
+    return _finalize_cv(cfg, events, train_accs, test_accs)
+
+
+def _finalize_cv(cfg: Config, events: EventLog, train_accs, test_accs):
+    """Shared run tail: overall CSV, curve PNGs, summary line, run_end
+    event — identical for the sequential and fold-lockstep drivers."""
     write_overall_csv(
         os.path.join(cfg.statistics_dir, f"{cfg.data_type}_results_overall.csv"),
         train_accs,

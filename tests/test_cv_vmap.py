@@ -1,0 +1,90 @@
+"""Fold-lockstep CV (train/cv_vmap.py): per-fold metric equality with the
+sequential driver, ragged-fold masking, and artifact contract."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dgcnn_tpu.config import Config
+from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
+from dgcnn_tpu.train.cv import run_cross_validation
+
+
+def _cfg(tmp_path, sub, **kw):
+    base = dict(
+        data_type="MUTAG",
+        batch_size=16,
+        num_epochs=4,
+        seed=324,
+        num_folds=3,
+        layout="dense",
+        data_root=str(tmp_path / "data"),
+        epochs_dir=str(tmp_path / sub / "epochs"),
+        statistics_dir=str(tmp_path / sub / "statistics"),
+        graph_pad_multiple=4,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_lockstep_matches_sequential(tmp_path):
+    """Same dataset/seed → the lockstep driver reproduces the sequential
+    driver's per-fold per-epoch CSVs (identical RNG streams; float
+    tolerance for batched-op reassociation)."""
+    # 37 graphs → ragged: stratified folds give unequal train sizes and a
+    # ragged last batch, exercising the masked lockstep path
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=37, seed=5)
+    r_seq = run_cross_validation(
+        _cfg(tmp_path, "seq", cv_parallel="sequential"), dataset=gs
+    )
+    r_vec = run_cross_validation(
+        _cfg(tmp_path, "vec", cv_parallel="folds"), dataset=gs
+    )
+
+    np.testing.assert_allclose(
+        r_vec["test_accuracies"], r_seq["test_accuracies"]
+    )
+    np.testing.assert_allclose(
+        r_vec["train_accuracies"], r_seq["train_accuracies"]
+    )
+    for fold in (1, 2, 3):
+        a = (tmp_path / "seq" / "statistics" / f"MUTAG_results_{fold}.csv").read_text()
+        b = (tmp_path / "vec" / "statistics" / f"MUTAG_results_{fold}.csv").read_text()
+        la, lb = a.splitlines(), b.splitlines()
+        assert la[0] == lb[0]
+        for ra, rb in zip(la[1:], lb[1:]):
+            va = np.array([float(x) for x in ra.split(",")])
+            vb = np.array([float(x) for x in rb.split(",")])
+            np.testing.assert_allclose(vb, va, rtol=5e-4, atol=5e-4)
+
+
+def test_lockstep_artifacts(tmp_path):
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
+    cfg = _cfg(tmp_path, "v", cv_parallel="folds")
+    result = run_cross_validation(cfg, dataset=gs)
+    assert len(result["test_accuracies"]) == 3
+    for fold in (1, 2, 3):
+        assert os.path.exists(tmp_path / "v" / "epochs" / f"MUTAG_{fold}.npz")
+        csv = tmp_path / "v" / "statistics" / f"MUTAG_results_{fold}.csv"
+        assert len(csv.read_text().strip().splitlines()) == cfg.num_epochs + 1
+    overall = tmp_path / "v" / "statistics" / "MUTAG_results_overall.csv"
+    assert overall.exists()
+
+
+def test_auto_picks_lockstep_only_when_safe(tmp_path):
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
+    # resume requested → sequential driver (per-fold resume capability)
+    run_cross_validation(
+        _cfg(tmp_path, "r", checkpoint_resume=True), dataset=gs
+    )
+    # second run resumes per fold — only possible on the sequential path
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_cross_validation(
+            _cfg(tmp_path, "r", checkpoint_resume=True), dataset=gs
+        )
+    assert buf.getvalue().count("resumed (complete)") == 3

@@ -35,8 +35,12 @@ class _Crash(RuntimeError):
 def test_midfold_resume_reproduces_uninterrupted_run(tmp_path, monkeypatch, capsys):
     gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
 
-    # reference: uninterrupted 6-epoch fold
-    run_cross_validation(_cfg(tmp_path, "full"), dataset=gs)
+    # reference: uninterrupted 6-epoch fold — pinned to the sequential
+    # driver (the resume path is sequential; lockstep execution is
+    # allclose- but not bitwise-identical across the driver boundary)
+    run_cross_validation(
+        _cfg(tmp_path, "full", cv_parallel="sequential"), dataset=gs
+    )
     want = (tmp_path / "stats_full" / "MUTAG_results_1.csv").read_text()
 
     # crash the run at epoch 4 (after epoch 3's inflight bundle is written):

@@ -39,7 +39,10 @@ def median_epoch_seconds(events_path: str) -> float:
         for line in f:
             rec = json.loads(line)
             if rec.get("kind") == "epoch":
-                vals.append(rec["epoch_seconds"])
+                # lockstep runs record the ALL-FOLDS wall per epoch row
+                vals.append(
+                    rec["epoch_seconds"] / rec.get("folds_in_lockstep", 1)
+                )
     vals.sort()
     return vals[len(vals) // 2] if vals else float("nan")
 
@@ -80,6 +83,8 @@ def main(root: str) -> None:
     print("Epoch time includes the per-epoch test-set evaluation (the")
     print("reference's timing excludes it); the full-run column includes")
     print("one-time XLA compilation, data synthesis and artifact writing.")
+    print("Small datasets train all 10 folds in LOCKSTEP (vmap over a fold")
+    print("axis — train/cv_vmap.py); their epoch column is per fold-epoch.")
 
 
 if __name__ == "__main__":
