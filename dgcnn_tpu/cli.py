@@ -34,6 +34,10 @@ def get_args(argv=None):
                              "parallel x 2-way edge-partitioned)")
     parser.add_argument("--spmm", default="xla", choices=["xla", "pallas"],
                         help="COO SpMM kernel implementation")
+    parser.add_argument("--sortpool_percentile", default=None, type=float,
+                        help="pick SortPooling k as this quantile of graph "
+                             "sizes (original-paper semantics, e.g. 0.6); "
+                             "default keeps the reference's fixed k=30")
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="compute dtype for matmuls/convs (fp32 "
@@ -73,6 +77,7 @@ def main(argv=None):
         mesh_shape=tuple(int(v) for v in opt.mesh.split(",")),
         spmm_impl=opt.spmm,
         compute_dtype=opt.dtype,
+        sort_pool_percentile=opt.sortpool_percentile,
         checkpoint_resume=opt.resume,
         checkpoint_every=opt.ckpt_every,
         log_every=opt.log_every,

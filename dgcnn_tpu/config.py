@@ -50,6 +50,12 @@ class Config:
     # -- model (hardcoded in the reference model.py:13-23; configurable here) --
     hidden_dims: Tuple[int, ...] = (32, 32, 32, 1)
     sort_pool_k: int = 30
+    # Original-paper alternative to a fixed k (the reference hardcodes 30,
+    # model.py:17): pick k as the p-quantile of the dataset's node counts
+    # so a fraction (1-p) of graphs get truncated — e.g. 0.6 reproduces the
+    # paper's "k such that 60% of graphs have ≥ k nodes". Overrides
+    # sort_pool_k when set; min 10, like muhanzhang/pytorch_DGCNN.
+    sort_pool_percentile: Optional[float] = None
     conv1d_channels: Tuple[int, int] = (16, 32)
     conv1d_kernel: int = 5
     dense_dim: int = 128

@@ -56,12 +56,30 @@ from dgcnn_tpu.utils.checkpoint import (
 )
 
 
-def _model_from_config(cfg: Config, num_features: int, num_classes: int) -> DGCNN:
+def percentile_sort_pool_k(node_counts: np.ndarray, percentile: float) -> int:
+    """Original-paper k selection: the `percentile`-quantile of graph
+    sizes (ascending), floored at 10 — so ~(1-p) of graphs are truncated
+    by SortPooling. Mirrors muhanzhang/pytorch_DGCNN's sortpooling_k."""
+    sizes = np.sort(np.asarray(node_counts))
+    idx = max(0, int(np.ceil(percentile * len(sizes))) - 1)
+    return max(10, int(sizes[idx]))
+
+
+def _model_from_config(
+    cfg: Config, num_features: int, num_classes: int,
+    node_counts: Optional[np.ndarray] = None,
+) -> DGCNN:
+    k = cfg.sort_pool_k
+    if cfg.sort_pool_percentile is not None:
+        if node_counts is None:
+            raise ValueError("sort_pool_percentile needs dataset node counts")
+        k = percentile_sort_pool_k(node_counts, cfg.sort_pool_percentile)
+        print(f"sort_pool_k={k} ({cfg.sort_pool_percentile:.0%} percentile)")
     return DGCNN(
         num_features=num_features,
         num_classes=num_classes,
         hidden_dims=cfg.hidden_dims,
-        sort_pool_k=cfg.sort_pool_k,
+        sort_pool_k=k,
         conv1d_channels=cfg.conv1d_channels,
         conv1d_kernel=cfg.conv1d_kernel,
         dense_dim=cfg.dense_dim,
@@ -753,7 +771,9 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
     # startup print, same info as reference train.py:87
     print(f"num_features={dataset.num_features}, num_classes={dataset.num_classes}")
 
-    model = _model_from_config(cfg, dataset.num_features, dataset.num_classes)
+    model = _model_from_config(
+        cfg, dataset.num_features, dataset.num_classes, dataset.node_counts()
+    )
     layout = choose_layout(cfg, dataset)
 
     fold_dir = cfg.fold_index_dir or os.path.join(

@@ -147,3 +147,23 @@ def test_fused_coo_run_epochs_equals_sequential():
     for a, b in zip(jax.tree_util.tree_leaves(pf), jax.tree_util.tree_leaves(ps)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(kf), np.asarray(ks))
+
+
+def test_sort_pool_percentile():
+    """Original-paper k selection (BASELINE config: 'k=0.6 SortPooling'):
+    k = p-quantile of graph sizes, floored at 10."""
+    from dgcnn_tpu.train.cv import percentile_sort_pool_k
+
+    counts = np.array([5, 8, 10, 12, 20, 30, 40, 50, 60, 100])
+    # 0.6-quantile of 10 sizes → 6th smallest = 30
+    assert percentile_sort_pool_k(counts, 0.6) == 30
+    # tiny graphs floor at 10
+    assert percentile_sort_pool_k(np.array([2, 3, 4]), 0.6) == 10
+
+
+def test_cv_with_percentile_k(tmp_path):
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
+    cfg = _cfg(tmp_path, sort_pool_percentile=0.6, num_epochs=2)
+    result = run_cross_validation(cfg, dataset=gs)
+    assert len(result["test_accuracies"]) == 3
+    assert all(np.isfinite(a) for a in result["test_accuracies"])
