@@ -171,6 +171,20 @@ def _epoch_edges(train):
 
 
 def main():
+    # persistent XLA compile cache (same as the training driver) — repeat
+    # bench runs skip the fused-program compiles
+    import os
+
+    import jax
+
+    try:
+        cache = os.path.expanduser("~/.cache/dgcnn_tpu/xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     detail, sources = {}, {}
     total_edges = total_time = base_time = 0.0
 
