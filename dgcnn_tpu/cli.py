@@ -27,8 +27,10 @@ def get_args(argv=None):
                         help="dataset root directory")
     parser.add_argument("--fold_dir", default=None, type=str,
                         help="directory with {train,test}_idx-<k>.txt fold files")
-    parser.add_argument("--layout", default="auto", choices=["auto", "coo", "dense"],
-                        help="batch layout: dense MXU adjacency blocks or COO+SpMM")
+    parser.add_argument("--layout", default="auto",
+                        choices=["auto", "coo", "dense", "multi"],
+                        help="batch layout: dense MXU adjacency blocks, "
+                             "size-bucketed multi-tile dense, or COO+SpMM")
     parser.add_argument("--mesh", default="1,1", type=str,
                         help="device mesh 'data,graph' (e.g. 4,2 = 4-way data "
                              "parallel x 2-way edge-partitioned)")

@@ -74,6 +74,8 @@ class Config:
     # graph and the stacked-epoch footprint allow it.
     layout: str = "auto"
     dense_max_nodes: int = 2048
+    # smallest tile of the multi-tile dense ladder (batching/multi_dense.py)
+    multi_dense_min_tile: int = 256
     # device-HBM budget for the resident DenseDataset (v5e has 16 GB)
     dense_max_device_bytes: int = 8_000_000_000
     # COO aggregation kernel: "xla" = jnp.take + segment_sum;
@@ -137,7 +139,7 @@ class Config:
             )
         if self.spmm_impl not in ("xla", "pallas"):
             raise ValueError(f"unknown spmm_impl {self.spmm_impl!r}")
-        if self.layout not in ("auto", "coo", "dense"):
+        if self.layout not in ("auto", "coo", "dense", "multi"):
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")

@@ -233,20 +233,13 @@ def apply_coo(
     return log_probs
 
 
-def apply_dense(
-    params: Params,
-    model: DGCNN,
-    batch: DenseGraphBatch,
-    *,
-    deterministic: bool = True,
-    dropout_rng: Optional[jax.Array] = None,
-    return_activations: bool = False,
-):
-    """Forward pass on the dense block-diagonal layout (batching/dense.py):
-    GCN propagation is one batched MXU matmul against the host-precomputed
-    normalized adjacency — semantically identical to `apply_coo`
-    (test_dense.py asserts logit equality)."""
-    acts = {}
+def _dense_trunk(
+    params: Params, model: DGCNN, batch: DenseGraphBatch, acts: dict,
+    tag: str = "",
+) -> jax.Array:
+    """GCN stack + SortPooling on one dense-layout batch → pooled
+    [num_graph_slots, k, C]. Shared by the single-tile and multi-tile
+    dense paths."""
     dt = jnp.dtype(model.compute_dtype)
     h = batch.x.astype(dt)
     adj = batch.adj.astype(dt)
@@ -266,18 +259,66 @@ def apply_dense(
         )
         h = (h * mask).astype(dt)
         layer_outs.append(h)
-        acts[f"gcn{i + 1}"] = h
+        acts[f"gcn{i + 1}{tag}"] = h
 
     cat = jnp.concatenate(layer_outs, axis=-1)
     pooled = sort_pool_dense(cat, batch.node_mask, model.sort_pool_k)
-    acts["sort_pool"] = pooled
+    acts[f"sort_pool{tag}"] = pooled
+    return pooled
 
+
+def apply_dense(
+    params: Params,
+    model: DGCNN,
+    batch: DenseGraphBatch,
+    *,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    return_activations: bool = False,
+):
+    """Forward pass on the dense block-diagonal layout (batching/dense.py):
+    GCN propagation is one batched MXU matmul against the host-precomputed
+    normalized adjacency — semantically identical to `apply_coo`
+    (test_dense.py asserts logit equality)."""
+    acts = {}
+    pooled = _dense_trunk(params, model, batch, acts)
     log_probs = _pooled_to_log_probs(
         params, model, pooled, deterministic, dropout_rng, acts
     )
     if return_activations:
         return log_probs, acts
     return log_probs
+
+
+def apply_multi_dense(
+    params: Params,
+    model: DGCNN,
+    batches: Tuple[DenseGraphBatch, ...],
+    *,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+):
+    """Forward over one batch SPLIT BY TILE CLASS (batching/multi_dense.py):
+    each class runs the dense trunk at its own tile size, pooled rows are
+    concatenated, and the readout/MLP head runs once over the union.
+
+    Returns (log_probs, y, graph_mask) concatenated over class slots —
+    the slot order is a permutation of the original batch, which is
+    irrelevant to the per-batch loss/metric sums."""
+    acts: dict = {}
+    pooled = jnp.concatenate(
+        [
+            _dense_trunk(params, model, b, acts, tag=f"_c{i}")
+            for i, b in enumerate(batches)
+        ],
+        axis=0,
+    )
+    log_probs = _pooled_to_log_probs(
+        params, model, pooled, deterministic, dropout_rng, acts
+    )
+    y = jnp.concatenate([b.y for b in batches], axis=0)
+    graph_mask = jnp.concatenate([b.graph_mask for b in batches], axis=0)
+    return log_probs, y, graph_mask
 
 
 def apply(params: Params, model: DGCNN, batch, **kwargs):

@@ -93,10 +93,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def choose_layout(cfg: Config, dataset: GraphSet) -> str:
-    """Pick the batch layout (Config.layout docstring): dense MXU blocks
-    when the dataset's largest graph and the device-resident footprint
-    (batching/dense.py DenseDataset — the gather engine never stacks whole
-    epochs) fit, else the COO/SpMM path (D&D's 5.7k-node outliers)."""
+    """Pick the batch layout (Config.layout docstring): single-tile dense
+    MXU blocks when the dataset's largest graph and the device-resident
+    footprint fit; size-bucketed multi-tile dense for heavy-tailed
+    datasets (D&D) whose classes still fit HBM; the COO/SpMM path as the
+    memory-safe fallback."""
     if cfg.layout != "auto":
         return cfg.layout
     n_tile = dense_tile(dataset)
@@ -105,6 +106,14 @@ def choose_layout(cfg: Config, dataset: GraphSet) -> str:
         and dense_dataset_bytes(dataset, n_tile) <= cfg.dense_max_device_bytes
     ):
         return "dense"
+    from dgcnn_tpu.batching.multi_dense import multi_dense_bytes, plan_tiles
+
+    tiles = plan_tiles(dataset.node_counts(), cfg.multi_dense_min_tile)
+    if (
+        cfg.mesh_shape == (1, 1)
+        and multi_dense_bytes(dataset, tiles) <= cfg.dense_max_device_bytes
+    ):
+        return "multi"
     return "coo"
 
 
@@ -385,6 +394,81 @@ class DenseEngine(EngineBase):
         )
 
 
+class MultiDenseEngine(EngineBase):
+    """Size-bucketed multi-tile dense engine (batching/multi_dense.py):
+    heavy-tailed datasets (D&D) run as per-class MXU matmuls instead of
+    per-edge gathers. Per-class slot counts grow only (rounded to 4) so a
+    run compiles a handful of programs."""
+
+    def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
+                 optimizer: optax.GradientTransformation):
+        from dgcnn_tpu.batching.multi_dense import (
+            build_multi_dense,
+            class_batch_counts,
+            plan_tiles,
+            route_order_rows,
+        )
+        from dgcnn_tpu.train.loop import make_multi_dense_run
+
+        self.cfg = cfg
+        self._counts_fn = class_batch_counts
+        self._route = route_order_rows
+        tiles = plan_tiles(dataset.node_counts(), cfg.multi_dense_min_tile)
+        classes, self._routing = build_multi_dense(dataset, tiles)
+        if cfg.compute_dtype != "float32":
+            import jax.numpy as jnp
+
+            dt = jnp.dtype(cfg.compute_dtype)
+            classes = jax.tree_util.tree_map(
+                lambda a: a.astype(dt) if a.dtype == np.float32 else a, classes
+            )
+        self._data = jax.device_put(classes)
+        self._run = make_multi_dense_run(model, optimizer)
+        self._slot_floor = np.full(len(tiles), 4, dtype=np.int64)
+
+    def _slots_for(self, *order_seqs) -> tuple:
+        """Grow-only per-class slot counts covering every batch in the
+        given graph-id sequences (each [**, batch chunks])."""
+        need = self._slot_floor
+        for ids_seq in order_seqs:
+            counts = self._counts_fn(self._routing, ids_seq, self.cfg.batch_size)
+            need = np.maximum(need, counts.max(axis=0))
+        self._slot_floor = -(-need // 4) * 4  # round up, grow-only
+        return tuple(int(s) for s in self._slot_floor)
+
+    def _epoch_orders(self, ids_seq: np.ndarray, slots: tuple):
+        """One epoch → per-class [steps, S_c] arrays."""
+        bs = self.cfg.batch_size
+        step_rows = [
+            self._route(self._routing, ids_seq[i : i + bs], slots)
+            for i in range(0, len(ids_seq), bs)
+        ]
+        return tuple(
+            np.stack([rows[c] for rows in step_rows])
+            for c in range(len(slots))
+        )
+
+    def begin_fold(self, train_idx: np.ndarray, test_idx: np.ndarray) -> None:
+        self._train_idx = np.asarray(train_idx, dtype=np.int64)
+        self._test_idx = np.asarray(test_idx, dtype=np.int64)
+
+    def run_epochs(self, params, opt_state, rng, perms: np.ndarray):
+        epoch_ids = [self._train_idx[p] for p in perms]
+        slots = self._slots_for(*epoch_ids, self._test_idx)
+        per_epoch = [self._epoch_orders(ids, slots) for ids in epoch_ids]
+        orders = tuple(
+            np.stack([pe[c] for pe in per_epoch]) for c in range(len(slots))
+        )
+        test_orders = self._epoch_orders(self._test_idx, slots)
+        params, opt_state, rng, rows = self._run(
+            params, opt_state, rng, self._data,
+            jax.device_put(orders), jax.device_put(test_orders),
+        )
+        return params, opt_state, rng, np.asarray(
+            jax.device_get(rows), dtype=np.float64
+        )
+
+
 class MeshCooEngine(EngineBase):
     """Mesh-sharded COO engine: data parallelism over LPT-balanced
     sub-batches × edge-partitioned aggregation (parallel/train_dp.py).
@@ -600,6 +684,8 @@ def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
             cls = MeshCooEngine
     elif layout == "dense":
         cls = DenseEngine
+    elif layout == "multi":
+        cls = MultiDenseEngine
     elif cfg.coo_assembly == "device":
         cls = DeviceCooEngine
     else:

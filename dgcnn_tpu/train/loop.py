@@ -143,6 +143,81 @@ def make_coo_run(
     return run
 
 
+def make_multi_dense_run(
+    model: DGCNN, optimizer: optax.GradientTransformation
+) -> Callable:
+    """FUSED multi-epoch runner over the size-bucketed multi-tile dense
+    layout (batching/multi_dense.py): per step, every tile class gathers
+    its slice of the batch from its device-resident DenseDataset and the
+    model runs per class with a shared head (apply_multi_dense).
+
+        run(params, opt_state, rng, class_data, orders, test_orders)
+            → (params, opt_state, rng, rows [k, 4])
+
+    class_data: tuple of DenseDataset (device); orders: tuple over
+    classes of [k, steps, S_c] int32; test_orders: tuple of [t_steps, S_c].
+    """
+    from dgcnn_tpu.batching.dense import gather_dense_batch
+    from dgcnn_tpu.models.dgcnn import apply_multi_dense
+
+    def gather_all(class_data, idx_rows):
+        return tuple(
+            gather_dense_batch(d, r) for d, r in zip(class_data, idx_rows)
+        )
+
+    def train_step(class_data):
+        def step(carry, idx_rows):
+            params, opt_state, rng = carry
+            rng, dropout_rng = jax.random.split(rng)
+            batches = gather_all(class_data, idx_rows)
+
+            def loss_fn(p):
+                lp, y, gm = apply_multi_dense(
+                    p, model, batches, deterministic=False,
+                    dropout_rng=dropout_rng,
+                )
+                return nll_loss_and_correct(lp, y, gm)
+
+            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, correct)
+
+        return step
+
+    @jax.jit
+    def run(params, opt_state, rng, class_data, orders, test_orders):
+        def epoch(carry, order_step):
+            carry, (losses, corrects) = jax.lax.scan(
+                train_step(class_data), carry, order_step
+            )
+            params = carry[0]
+
+            def eval_body(c, idx_rows):
+                lp, y, gm = apply_multi_dense(
+                    params, model, gather_all(class_data, idx_rows),
+                    deterministic=True,
+                )
+                return c, nll_loss_and_correct(lp, y, gm)
+
+            _, (te_losses, te_corrects) = jax.lax.scan(
+                eval_body, None, test_orders
+            )
+            row = jnp.stack(
+                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
+            )
+            return carry, row
+
+        (params, opt_state, rng), rows = jax.lax.scan(
+            epoch, (params, opt_state, rng), orders
+        )
+        return params, opt_state, rng, rows
+
+    return run
+
+
 def make_device_coo_run(
     model: DGCNN,
     optimizer: optax.GradientTransformation,
