@@ -33,7 +33,6 @@ from dgcnn_tpu.batching.dense import (
     dense_dataset_bytes,
     dense_tile,
     order_matrix,
-    pack_dense_epoch,
 )
 from dgcnn_tpu.batching.packer import compute_bucket, pack_epoch
 from dgcnn_tpu.config import Config
@@ -115,24 +114,6 @@ def choose_layout(cfg: Config, dataset: GraphSet) -> str:
     ):
         return "multi"
     return "coo"
-
-
-def make_pack_fn(cfg: Config, dataset: GraphSet, layout: str):
-    """Epoch-packing callable (dataset-wide shapes, stable across folds)."""
-    if layout == "dense":
-        n_tile = dense_tile(dataset)
-        slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
-        return lambda ds, order: pack_dense_epoch(
-            ds, order, cfg.batch_size, n_tile, slots
-        )
-    bucket = compute_bucket(
-        dataset,
-        cfg.batch_size,
-        cfg.node_pad_multiple,
-        cfg.edge_pad_multiple,
-        cfg.graph_pad_multiple,
-    )
-    return lambda ds, order: pack_epoch(ds, order, cfg.batch_size, bucket)
 
 
 def _completed_fold_accuracies(csv_path: str, num_epochs: int) -> Optional[Tuple[float, float]]:
