@@ -147,3 +147,10 @@ class Config:
             raise ValueError(f"unknown coo_assembly {self.coo_assembly!r}")
         if self.cv_parallel not in ("auto", "folds", "sequential"):
             raise ValueError(f"unknown cv_parallel {self.cv_parallel!r}")
+        if self.sort_pool_percentile is not None and not (
+            0.0 < self.sort_pool_percentile <= 1.0
+        ):
+            raise ValueError(
+                f"sort_pool_percentile must be a fraction in (0, 1], got "
+                f"{self.sort_pool_percentile!r}"
+            )

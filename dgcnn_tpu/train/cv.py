@@ -657,6 +657,11 @@ class MeshDenseEngine(EngineBase):
 def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
                 optimizer: optax.GradientTransformation, layout: str):
     if cfg.mesh_shape != (1, 1):
+        if layout == "multi":
+            raise ValueError(
+                "layout='multi' is single-chip only; use layout='dense' or "
+                "'coo' (or 'auto') with a mesh"
+            )
         if layout == "dense":
             cls = MeshDenseEngine
         elif cfg.coo_assembly == "device":
@@ -881,14 +886,36 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
         * (dense_tile(dataset) + dataset.num_features)
         * 4
     )
-    use_lockstep = cfg.cv_parallel == "folds" or (
-        cfg.cv_parallel == "auto"
-        and layout == "dense"
-        and cfg.mesh_shape == (1, 1)
-        and not cfg.checkpoint_resume
-        and not cfg.checkpoint_every
-        and lockstep_step_bytes <= cfg.lockstep_max_step_bytes
-    )
+    if cfg.cv_parallel == "folds":
+        # explicit lockstep request: fail loudly on incompatible settings
+        # instead of silently building an infeasible dense dataset or
+        # dropping resume semantics
+        problems = []
+        if layout != "dense":
+            problems.append(
+                f"layout={layout!r} (lockstep runs on the single-tile "
+                f"dense layout; this dataset resolved to {layout!r})"
+            )
+        if cfg.mesh_shape != (1, 1):
+            problems.append(f"mesh_shape={cfg.mesh_shape} (single chip only)")
+        if cfg.checkpoint_resume or cfg.checkpoint_every:
+            problems.append("checkpoint resume (lockstep folds cannot "
+                            "resume individually)")
+        if problems:
+            raise ValueError(
+                "cv_parallel='folds' is incompatible with: "
+                + "; ".join(problems)
+            )
+        use_lockstep = True
+    else:
+        use_lockstep = (
+            cfg.cv_parallel == "auto"
+            and layout == "dense"
+            and cfg.mesh_shape == (1, 1)
+            and not cfg.checkpoint_resume
+            and not cfg.checkpoint_every
+            and lockstep_step_bytes <= cfg.lockstep_max_step_bytes
+        )
     if use_lockstep:
         from dgcnn_tpu.train.cv_vmap import run_cv_folds_vmap
 

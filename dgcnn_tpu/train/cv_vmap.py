@@ -93,8 +93,12 @@ def make_dense_vmap_run(model: DGCNN, optimizer: optax.GradientTransformation) -
         def step(carry, idx_rows):  # idx_rows [F, slots]
             params_f, opt_f, rng_f = carry
             keys = jax.vmap(jax.random.split)(rng_f)  # [F, 2, key]
-            rng_f, drop_f = keys[:, 0], keys[:, 1]
             real = (idx_rows >= 0).any(axis=1)  # [F]
+            # folds skipping this step must NOT consume a PRNG split —
+            # the sequential driver splits once per REAL step, and the
+            # per-fold dropout streams must match it exactly
+            rng_f = jnp.where(real[:, None], keys[:, 0], rng_f)
+            drop_f = keys[:, 1]
             (loss_f, corr_f), grads_f = jax.vmap(
                 grad_fold, in_axes=(0, None, 0, 0)
             )(params_f, data, idx_rows, drop_f)

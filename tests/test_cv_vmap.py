@@ -88,3 +88,42 @@ def test_auto_picks_lockstep_only_when_safe(tmp_path):
             _cfg(tmp_path, "r", checkpoint_resume=True), dataset=gs
         )
     assert buf.getvalue().count("resumed (complete)") == 3
+
+
+def test_lockstep_ragged_step_counts_match_sequential(tmp_path):
+    """Folds with FEWER train steps than the lockstep maximum must not
+    consume PRNG splits on their padded steps — their dropout streams
+    must match the sequential driver exactly. 73 graphs / 3 folds / batch
+    16 → train sizes 48/49/49 → 3 vs 4 steps."""
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=73, seed=9)
+    kw = dict(num_epochs=3)
+    r_seq = run_cross_validation(
+        _cfg(tmp_path, "rs", cv_parallel="sequential", **kw), dataset=gs
+    )
+    r_vec = run_cross_validation(
+        _cfg(tmp_path, "rv", cv_parallel="folds", **kw), dataset=gs
+    )
+    np.testing.assert_allclose(r_vec["test_accuracies"], r_seq["test_accuracies"])
+    for fold in (1, 2, 3):
+        a = (tmp_path / "rs" / "statistics" / f"MUTAG_results_{fold}.csv").read_text()
+        b = (tmp_path / "rv" / "statistics" / f"MUTAG_results_{fold}.csv").read_text()
+        for ra, rb in zip(a.splitlines()[1:], b.splitlines()[1:]):
+            va = np.array([float(x) for x in ra.split(",")])
+            vb = np.array([float(x) for x in rb.split(",")])
+            np.testing.assert_allclose(vb, va, rtol=5e-4, atol=5e-4,
+                                       err_msg=f"fold {fold}")
+
+
+def test_lockstep_explicit_request_validates(tmp_path):
+    import pytest
+
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
+    with pytest.raises(ValueError, match="resume"):
+        run_cross_validation(
+            _cfg(tmp_path, "x", cv_parallel="folds", checkpoint_resume=True),
+            dataset=gs,
+        )
+    with pytest.raises(ValueError, match="layout"):
+        run_cross_validation(
+            _cfg(tmp_path, "y", cv_parallel="folds", layout="coo"), dataset=gs
+        )

@@ -119,12 +119,18 @@ def main(argv=None):
         per_epoch = min(times) / args.epochs_per_dispatch
         results[mesh_s] = edges_per_epoch / per_epoch
 
-    base_key = args.meshes[0]
-    base = results.get(base_key)
+    # baseline = the smallest mesh that actually ran; efficiency compares
+    # per-device throughput against it
+    ran = sorted(
+        results, key=lambda m: int(np.prod([int(v) for v in m.split(",")]))
+    )
+    base_key = ran[0] if ran else None
+    base_n = int(np.prod([int(v) for v in base_key.split(",")])) if ran else 1
+    base = results.get(base_key) if ran else None
     out = []
     for mesh_s, eps in results.items():
-        n = np.prod([int(v) for v in mesh_s.split(",")])
-        eff = (eps / base) / n * 100.0 if base else float("nan")
+        n = int(np.prod([int(v) for v in mesh_s.split(",")]))
+        eff = (eps / n) / (base / base_n) * 100.0 if base else float("nan")
         out.append({
             "mesh": mesh_s,
             "devices": int(n),
