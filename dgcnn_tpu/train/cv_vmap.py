@@ -201,15 +201,20 @@ def run_cv_folds_vmap(
     test_order3d = jax.device_put(np.stack(test_mats, axis=1))
 
     # per-fold RNG: identical streams to the sequential driver (cv.py
-    # run_fold) — fold f's init/dropout and shuffles reproduce exactly
-    keys = [
-        jax.random.split(jax.random.fold_in(jax.random.PRNGKey(cfg.seed), f))
-        for f in range(1, F + 1)
-    ]
-    init_keys = jnp.stack([k[0] for k in keys])
-    rng_f = jnp.stack([k[1] for k in keys])
-    params_f = jax.vmap(lambda k: init_params(k, model))(init_keys)
-    opt_f = jax.vmap(optimizer.init)(params_f)
+    # run_fold) — fold f's init/dropout and shuffles reproduce exactly.
+    # One jitted program for key derivation + init + optimizer state
+    # (three separate compiles cost tens of seconds on this transport).
+    @jax.jit
+    def _init_all(seed):
+        def one(f):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), f)
+            init_key, run_key = jax.random.split(key)
+            p = init_params(init_key, model)
+            return p, optimizer.init(p), run_key
+
+        return jax.vmap(one)(jnp.arange(1, F + 1))
+
+    params_f, opt_f, rng_f = _init_all(cfg.seed)
     shuffles = [
         np.random.default_rng(np.random.SeedSequence([cfg.seed, f]))
         for f in range(1, F + 1)
@@ -275,11 +280,14 @@ def run_cv_folds_vmap(
                 print(f"[all folds] epoch {epoch + j}: test% [{accs}] ({dt:.2f}s)")
         epoch += k
 
-    # per-fold artifacts, identical to the sequential driver
+    # per-fold artifacts, identical to the sequential driver. ONE device
+    # fetch for the whole stacked state — per-leaf-per-fold slicing costs
+    # hundreds of tiny D2H round-trips on this transport.
+    host_params, host_opt = jax.device_get((params_f, opt_f))
     train_accs, test_accs = [], []
     for f in range(F):
-        fold_params = jtu.tree_map(lambda a: np.asarray(a[f]), params_f)
-        fold_opt = jtu.tree_map(lambda a: np.asarray(a[f]), opt_f)
+        fold_params = jtu.tree_map(lambda a: a[f], host_params)
+        fold_opt = jtu.tree_map(lambda a: a[f], host_opt)
         save_checkpoint(
             os.path.join(cfg.epochs_dir, f"{cfg.data_type}_{f + 1}"),
             {"params": fold_params, "opt_state": fold_opt},
