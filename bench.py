@@ -70,7 +70,11 @@ def _bench_dense(train, epochs_per_dispatch=10):
     import jax
     import optax
 
-    from dgcnn_tpu.batching.dense import build_dense_dataset, dense_tile, order_matrix
+    from dgcnn_tpu.batching.dense import (
+        build_dense_dataset_on_device,
+        dense_tile,
+        order_matrix,
+    )
     from dgcnn_tpu.models.dgcnn import DGCNN, init_params
     from dgcnn_tpu.train.loop import make_dense_gather_run
 
@@ -78,7 +82,7 @@ def _bench_dense(train, epochs_per_dispatch=10):
     params = init_params(jax.random.PRNGKey(324), model)
     optimizer = optax.adam(1e-3)
     state = {"p": params, "s": optimizer.init(params), "k": jax.random.PRNGKey(0)}
-    data = jax.device_put(build_dense_dataset(train, dense_tile(train)))
+    data = build_dense_dataset_on_device(train, dense_tile(train))
     run = make_dense_gather_run(model, optimizer)
     # train-epoch throughput only (the reference "Training Time" rows time
     # train(), not test() — BASELINE.md): zero eval steps in the fused run

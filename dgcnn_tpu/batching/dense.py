@@ -168,12 +168,28 @@ jtu.register_pytree_node(
 
 
 def build_dense_dataset(dataset: GraphSet, n_tile: int) -> DenseDataset:
-    """One-time dense materialization of every graph (host side)."""
+    """One-time dense materialization of every graph (host side).
+    Prefer `build_dense_dataset_on_device` for device-resident use — it
+    ships O(nodes+edges) instead of O(G·n_tile²) over the link."""
     g = dataset.num_graphs
     batch = pack_dense_batch(dataset, np.arange(g), n_tile, g)
     return DenseDataset(
         x=batch.x, adj=batch.adj, node_mask=batch.node_mask, y=batch.y
     )
+
+
+def build_dense_dataset_on_device(dataset: GraphSet, n_tile: int) -> DenseDataset:
+    """Device-resident dense materialization: transfer the compact COO
+    graphset, densify in HBM (batching/device_coo.py densify_on_device)."""
+    import jax
+
+    from dgcnn_tpu.batching.device_coo import (
+        build_device_graphset,
+        densify_on_device,
+    )
+
+    dev = jax.device_put(build_device_graphset(dataset))
+    return densify_on_device(dev, n_tile)
 
 
 def dense_dataset_bytes(dataset: GraphSet, n_tile: int) -> int:

@@ -142,6 +142,57 @@ def assert_bucket_fits(
         )
 
 
+def densify_on_device(dev: DeviceGraphSet, n_tile: int):
+    """Build a DenseDataset (batching/dense.py layout: per-graph GCN-
+    normalized adjacency + features at one tile) ON DEVICE from the
+    compact COO graphset.
+
+    Host-side `build_dense_dataset` materializes O(G·n_tile²) bytes on the
+    host and ships them over the host↔device link — minutes for COLLAB's
+    ~5 GB on a remote-attached chip. Here only the O(nodes+edges)
+    graphset crosses the link; the quadratic arrays are born in HBM with
+    ONE scatter over the flat edge stream plus a degree normalize.
+    Numerically identical to the host builder (tests/test_device_coo.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.batching.dense import DenseDataset
+
+    num_graphs = int(dev.node_start.shape[0] - 1)
+
+    @jax.jit
+    def build(dev):
+        nc = dev.node_count[:num_graphs]  # [G]
+        # features: gather each graph's rows into its tile
+        pos = jnp.arange(n_tile, dtype=jnp.int32)
+        node_ok = pos[None, :] < nc[:, None]
+        rows = dev.node_start[:num_graphs, None] + pos[None, :]
+        x = dev.x[jnp.where(node_ok, rows, dev.x.shape[0] - 1)]
+        node_mask = node_ok.astype(jnp.float32)
+
+        # adjacency: one scatter of the whole (self-loop-stripped,
+        # graph-local) edge stream at indices (graph, dst, src)
+        epos = jnp.arange(dev.edge_src.shape[0], dtype=jnp.int32)
+        graph_of_edge = jnp.searchsorted(
+            dev.edge_start[1 : num_graphs + 1], epos, side="right"
+        ).astype(jnp.int32)
+        adj = jnp.zeros((num_graphs, n_tile, n_tile), jnp.float32)
+        adj = adj.at[graph_of_edge, dev.edge_dst, dev.edge_src].add(1.0)
+
+        # re-added self-loops on real nodes + symmetric normalization
+        diag = jnp.arange(n_tile, dtype=jnp.int32)
+        adj = adj.at[:, diag, diag].add(node_mask)
+        deg = adj.sum(axis=2)
+        dinv = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+        adj = adj * dinv[:, :, None] * dinv[:, None, :]
+        return DenseDataset(
+            x=x, adj=adj, node_mask=node_mask, y=dev.y[:num_graphs]
+        )
+
+    return build(dev)
+
+
 def device_graphset_bytes(dataset: GraphSet) -> int:
     return (
         (dataset.total_nodes + 1) * dataset.num_features * 4

@@ -87,6 +87,28 @@ def build_multi_dense(
     return tuple(classes), routing
 
 
+def build_multi_dense_on_device(
+    dataset: GraphSet, tiles: Sequence[int]
+) -> Tuple[Tuple[DenseDataset, ...], MultiDenseRouting]:
+    """Device-side materialization: per class, ship the compact COO
+    subset and densify in HBM (batching/device_coo.py densify_on_device)
+    — O(nodes+edges) over the link instead of O(Σ G_c·t_c²)."""
+    import jax
+
+    from dgcnn_tpu.batching.device_coo import (
+        build_device_graphset,
+        densify_on_device,
+    )
+
+    routing = build_routing(dataset.node_counts(), tiles)
+    classes = []
+    for c, t in enumerate(routing.tiles):
+        members = np.flatnonzero(routing.class_of == c)
+        dev = jax.device_put(build_device_graphset(dataset.subset(members)))
+        classes.append(densify_on_device(dev, int(t)))
+    return tuple(classes), routing
+
+
 def multi_dense_bytes(dataset: GraphSet, tiles: Sequence[int]) -> int:
     nc = dataset.node_counts()
     routing = build_routing(nc, tiles)

@@ -29,7 +29,7 @@ import numpy as np
 import optax
 
 from dgcnn_tpu.batching.dense import (
-    build_dense_dataset,
+    build_dense_dataset_on_device,
     dense_dataset_bytes,
     dense_tile,
     order_matrix,
@@ -329,7 +329,7 @@ class DenseEngine(EngineBase):
         self.cfg = cfg
         n_tile = dense_tile(dataset)
         self._slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
-        self._data = jax.device_put(build_dense_dataset(dataset, n_tile))
+        self._data = build_dense_dataset_on_device(dataset, n_tile)
         if cfg.compute_dtype != "float32":
             # store the device-resident dataset in the compute dtype: halves
             # both the HBM footprint and the per-batch gather traffic (adj
@@ -384,7 +384,7 @@ class MultiDenseEngine(EngineBase):
     def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
                  optimizer: optax.GradientTransformation):
         from dgcnn_tpu.batching.multi_dense import (
-            build_multi_dense,
+            build_multi_dense_on_device,
             class_batch_counts,
             plan_tiles,
             route_order_rows,
@@ -395,15 +395,16 @@ class MultiDenseEngine(EngineBase):
         self._counts_fn = class_batch_counts
         self._route = route_order_rows
         tiles = plan_tiles(dataset.node_counts(), cfg.multi_dense_min_tile)
-        classes, self._routing = build_multi_dense(dataset, tiles)
+        classes, self._routing = build_multi_dense_on_device(dataset, tiles)
         if cfg.compute_dtype != "float32":
             import jax.numpy as jnp
 
             dt = jnp.dtype(cfg.compute_dtype)
             classes = jax.tree_util.tree_map(
-                lambda a: a.astype(dt) if a.dtype == np.float32 else a, classes
+                lambda a: a.astype(dt) if a.dtype == jnp.float32 else a,
+                classes,
             )
-        self._data = jax.device_put(classes)
+        self._data = classes
         self._run = make_multi_dense_run(model, optimizer)
         self._slot_floor = np.full(len(tiles), 4, dtype=np.int64)
 
@@ -613,7 +614,12 @@ class MeshDenseEngine(EngineBase):
         self._slots = max(
             1, -(-cfg.batch_size // self.n_data)
         )
+        from dgcnn_tpu.batching.dense import build_dense_dataset
+
         n_tile = dense_tile(dataset)
+        # mesh path: host build + replicated placement (the on-device
+        # densifier targets single-device HBM; sharded densify is a
+        # follow-up)
         self._data = jax.device_put(
             build_dense_dataset(dataset, n_tile),
             NamedSharding(self.mesh, P()),

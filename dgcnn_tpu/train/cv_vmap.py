@@ -37,7 +37,7 @@ import numpy as np
 import optax
 
 from dgcnn_tpu.batching.dense import (
-    build_dense_dataset,
+    build_dense_dataset_on_device,
     dense_tile,
     gather_dense_batch,
     order_matrix,
@@ -176,7 +176,7 @@ def run_cv_folds_vmap(
     n_tile = dense_tile(dataset)
     slots = ((cfg.batch_size + cfg.graph_pad_multiple - 1)
              // cfg.graph_pad_multiple) * cfg.graph_pad_multiple
-    data = jax.device_put(build_dense_dataset(dataset, n_tile))
+    data = build_dense_dataset_on_device(dataset, n_tile)
     if cfg.compute_dtype != "float32":
         dt = jnp.dtype(cfg.compute_dtype)
         data = jtu.tree_map(

@@ -96,3 +96,41 @@ def test_device_graphset_bytes_sane():
     dev = build_device_graphset(gs)
     actual = sum(a.nbytes for a in jax.tree_util.tree_leaves(dev))
     assert abs(actual - est) / est < 0.05
+
+
+@pytest.mark.parametrize("name", ["MUTAG", "DD"])
+def test_densify_on_device_matches_host_builder(name):
+    """On-device dense materialization == host build_dense_dataset."""
+    import jax.tree_util as jtu
+
+    from dgcnn_tpu.batching.dense import (
+        build_dense_dataset,
+        build_dense_dataset_on_device,
+        dense_tile,
+    )
+
+    gs = synthesize_tu_dataset(name, num_graphs=12, seed=6)
+    n_tile = dense_tile(gs)
+    want = build_dense_dataset(gs, n_tile)
+    got = build_dense_dataset_on_device(gs, n_tile)
+    for w, g in zip(jtu.tree_leaves(want), jtu.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-6, atol=1e-7)
+
+
+def test_multi_dense_device_build_matches_host():
+    import jax.tree_util as jtu
+
+    from dgcnn_tpu.batching.multi_dense import (
+        build_multi_dense,
+        build_multi_dense_on_device,
+        plan_tiles,
+    )
+
+    gs = synthesize_tu_dataset("DD", num_graphs=16, seed=2)
+    tiles = plan_tiles(gs.node_counts(), 256)
+    want, r1 = build_multi_dense(gs, tiles)
+    got, r2 = build_multi_dense_on_device(gs, tiles)
+    assert r1.tiles == r2.tiles
+    np.testing.assert_array_equal(r1.class_of, r2.class_of)
+    for w, g in zip(jtu.tree_leaves(want), jtu.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-6, atol=1e-7)
