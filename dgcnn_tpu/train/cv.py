@@ -614,14 +614,12 @@ class MeshDenseEngine(EngineBase):
         self._slots = max(
             1, -(-cfg.batch_size // self.n_data)
         )
-        from dgcnn_tpu.batching.dense import build_dense_dataset
-
         n_tile = dense_tile(dataset)
-        # mesh path: host build + replicated placement (the on-device
-        # densifier targets single-device HBM; sharded densify is a
-        # follow-up)
+        # densify on one device from the compact COO graphset, then
+        # broadcast-replicate across the mesh (device-to-device over ICI
+        # beats shipping O(G·n_tile²) from the host)
         self._data = jax.device_put(
-            build_dense_dataset(dataset, n_tile),
+            build_dense_dataset_on_device(dataset, n_tile),
             NamedSharding(self.mesh, P()),
         )
         self._order_sharding = NamedSharding(self.mesh, P(None, "data"))
