@@ -251,7 +251,7 @@ def main():
     # COO kernel comparison on NCI1 (stderr only)
     nci1_train = splits["NCI1"]
     nci1_edges = _epoch_edges(nci1_train)
-    for impl in ("xla", "pallas"):
+    for impl in ("auto", "xla"):
         best, _times = _bench_coo(nci1_train, impl)
         detail[f"NCI1_coo_{impl}"] = {
             "epoch_ms": round(best * 1e3, 2),
@@ -273,7 +273,7 @@ def main():
     # isolated SpMM %-of-SoL on NCI1 mega-batch shapes (BASELINE metric)
     from dgcnn_tpu.utils.profiling import spmm_microbench
 
-    for impl in ("xla", "pallas"):
+    for impl in ("auto", "xla", "pallas"):
         r = spmm_microbench(num_nodes=1792, num_features=32, num_edges=7168,
                             impl=impl)
         detail[f"spmm_{impl}"] = {

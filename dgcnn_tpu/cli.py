@@ -34,7 +34,8 @@ def get_args(argv=None):
     parser.add_argument("--mesh", default="1,1", type=str,
                         help="device mesh 'data,graph' (e.g. 4,2 = 4-way data "
                              "parallel x 2-way edge-partitioned)")
-    parser.add_argument("--spmm", default="xla", choices=["xla", "pallas"],
+    parser.add_argument("--spmm", default="auto",
+                        choices=["auto", "xla", "onehot", "pallas"],
                         help="COO SpMM kernel implementation")
     parser.add_argument("--sortpool_percentile", default=None, type=float,
                         help="pick SortPooling k as this quantile of graph "

@@ -78,9 +78,11 @@ class Config:
     multi_dense_min_tile: int = 256
     # device-HBM budget for the resident DenseDataset (v5e has 16 GB)
     dense_max_device_bytes: int = 8_000_000_000
-    # COO aggregation kernel: "xla" = jnp.take + segment_sum;
+    # COO aggregation kernel: "auto" = one-hot MXU matmul SpMM when the
+    # node-block is small enough, else segment-sum; "xla" = jnp.take +
+    # segment_sum; "onehot" = force the MXU formulation;
     # "pallas" = Pallas gather-scatter SpMM.
-    spmm_impl: str = "xla"
+    spmm_impl: str = "auto"
     # Pad node/edge counts of a packed batch up to multiples of these.
     node_pad_multiple: int = 256
     edge_pad_multiple: int = 1024  # Pallas SpMM needs 1024-aligned edge streams
@@ -137,7 +139,7 @@ class Config:
             raise ValueError(
                 f"unknown data_type {self.data_type!r}; expected one of {DATASETS}"
             )
-        if self.spmm_impl not in ("xla", "pallas"):
+        if self.spmm_impl not in ("auto", "xla", "onehot", "pallas"):
             raise ValueError(f"unknown spmm_impl {self.spmm_impl!r}")
         if self.layout not in ("auto", "coo", "dense", "multi"):
             raise ValueError(f"unknown layout {self.layout!r}")

@@ -119,6 +119,95 @@ def _spmm_forward(edge_src, edge_dst, edge_weight, h, interpret=False):
     )(edge_src, edge_dst, edge_weight, h)
 
 
+def _spmm_mxu_kernel(src_ref, dst_ref, w_ref, h_ref, out_ref):
+    """MXU SpMM: per edge block, build one-hot selectors IN VMEM (iota
+    compare — no HBM selector traffic, the failure mode of the XLA-level
+    one-hot formulation) and run gather+scatter as two matmuls:
+
+        out += OneHot(dst)ᵀ @ (w ⊙ (OneHot(src) @ h))
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    eb = src_ref.shape[0]
+    n = h_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (eb, n), 1)
+    # src/dst/w live in VMEM as (eb, 1) columns → broadcast against iota
+    sel_src = (src_ref[:] == iota).astype(jnp.float32)
+    gathered = jnp.dot(sel_src, h_ref[:], preferred_element_type=jnp.float32)
+    gathered = gathered * w_ref[:].reshape(eb, 1)
+    sel_dst = (dst_ref[:] == iota).astype(jnp.float32)
+    out_ref[:] += jax.lax.dot_general(
+        sel_dst, gathered, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# MXU-kernel edge block: small enough that two (EB, N) selector tiles fit
+# VMEM beside h/out at the node counts the dispatcher allows.
+MXU_EDGE_BLOCK = 256
+
+
+def spmm_pallas_mxu_fits(num_nodes: int, num_features: int, num_edges: int) -> bool:
+    sel_bytes = 2 * MXU_EDGE_BLOCK * num_nodes * 4
+    return (
+        num_edges % MXU_EDGE_BLOCK == 0
+        and sel_bytes + 2 * _lane_padded_bytes(num_nodes, num_features)
+        <= _VMEM_BUDGET
+    )
+
+
+def _spmm_mxu_forward(edge_src, edge_dst, edge_weight, h, interpret=False):
+    n, f = h.shape
+    e = edge_src.shape[0]
+    eb = MXU_EDGE_BLOCK
+    if e % eb:
+        raise ValueError(f"edge count {e} not a multiple of {eb}")
+
+    # index/weight streams as (E, 1) columns so blocks are 2-D VMEM tiles
+    col = lambda a: a.reshape(e, 1)
+    return pl.pallas_call(
+        _spmm_mxu_kernel,
+        grid=(e // eb,),
+        in_specs=[
+            pl.BlockSpec((eb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, f), h.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * e * n * f,
+            bytes_accessed=_lane_padded_bytes(n, f) * 2 + e * 12,
+            transcendentals=0,
+        ),
+    )(col(edge_src), col(edge_dst), col(edge_weight), h)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def spmm_pallas_mxu(edge_src, edge_dst, edge_weight, h, interpret=False):
+    """MXU one-hot SpMM; same contract as `spmm_pallas`."""
+    return _spmm_mxu_forward(edge_src, edge_dst, edge_weight, h, interpret)
+
+
+def _mxu_fwd(edge_src, edge_dst, edge_weight, h, interpret):
+    out = _spmm_mxu_forward(edge_src, edge_dst, edge_weight, h, interpret)
+    return out, (edge_src, edge_dst, edge_weight, h)
+
+
+def _mxu_bwd(interpret, res, g):
+    edge_src, edge_dst, edge_weight, h = res
+    dh = _spmm_mxu_forward(edge_dst, edge_src, edge_weight, g, interpret)
+    dw = _sddmm_xla(edge_src, edge_dst, h, g)
+    return None, None, dw, dh
+
+
+spmm_pallas_mxu.defvjp(_mxu_fwd, _mxu_bwd)
+
+
 def _sddmm_xla(edge_src, edge_dst, a, b):
     """Per-edge row dot products ⟨a[src], b[dst]⟩ — the weight cotangent."""
     return (jnp.take(a, edge_src, axis=0) * jnp.take(b, edge_dst, axis=0)).sum(-1)

@@ -61,42 +61,56 @@ def spmm_microbench(
     num_features: int = 32,
     num_edges: int = 8192,
     impl: str = "xla",
-    iters: int = 100,
-    reps: int = 5,
+    iters: int = 20,
+    unroll: int = 16,
+    reps: int = 4,
     seed: int = 0,
 ) -> Dict[str, float]:
-    """Isolated SpMM timing on realistic shapes: an on-device sequential
-    chain of `iters` applications inside one jit (amortizes dispatch), each
-    rep re-fed with perturbed inputs and fenced by a value fetch. Returns
-    seconds/op, achieved GB/s, and %-of-SoL."""
+    """Isolated SpMM timing on realistic shapes.
+
+    Methodology: a fori_loop iteration on this transport has a large
+    fixed cost (~hundreds of µs — scheduling, not compute), so a naive
+    one-op-per-iteration chain measures the harness, not the kernel.
+    Here each iteration runs `unroll` dependency-chained ops, a trivial
+    same-shape body measures the floor, and the per-op time is
+    (iter_time − floor) / unroll. Each rep re-feeds perturbed inputs and
+    fences with a value fetch (dispatch caching + async completion —
+    see .claude/skills/verify/SKILL.md)."""
     import jax
     import jax.numpy as jnp
 
     from dgcnn_tpu.ops.spmm import spmm
 
     rng = np.random.default_rng(seed)
-    src = rng.integers(0, num_nodes, num_edges).astype(np.int32)
-    dst = np.sort(rng.integers(0, num_nodes, num_edges)).astype(np.int32)
-    w = (rng.random(num_edges).astype(np.float32) - 0.5) * 0.01
+    src = jnp.array(rng.integers(0, num_nodes, num_edges).astype(np.int32))
+    dst = jnp.array(np.sort(rng.integers(0, num_nodes, num_edges)).astype(np.int32))
+    w = jnp.array((rng.random(num_edges).astype(np.float32) - 0.5) * 0.01)
     h0 = rng.normal(size=(num_nodes, num_features)).astype(np.float32) * 0.01
 
-    @jax.jit
-    def chain(src, dst, w, h):
-        def body(_, acc):
-            return jnp.tanh(spmm(src, dst, w, acc, acc.shape[0], impl=impl))
+    def time_chain(op):
+        @jax.jit
+        def chain(src, dst, w, h):
+            def body(_, acc):
+                for _ in range(unroll):
+                    acc = op(src, dst, w, acc) * 0.5 + acc * 0.5
+                return acc
 
-        return jax.lax.fori_loop(0, iters, body, h).sum()
+            return jax.lax.fori_loop(0, iters, body, h).sum()
 
-    src, dst, w = jnp.array(src), jnp.array(dst), jnp.array(w)
-    float(chain(src, dst, w, jnp.array(h0)))  # compile
-    times = []
-    for r in range(reps):
-        hr = jnp.array(h0 + r * 1e-4)
-        t0 = time.perf_counter()
-        float(chain(src, dst, w, hr))
-        times.append(time.perf_counter() - t0)
+        float(chain(src, dst, w, jnp.array(h0)))  # compile
+        times = []
+        for r in range(reps):
+            hr = jnp.array(h0 + r * 1e-4)
+            t0 = time.perf_counter()
+            float(chain(src, dst, w, hr))
+            times.append(time.perf_counter() - t0)
+        return min(times) / iters
 
-    per_op = min(times) / iters
+    floor = time_chain(lambda s, d, ww, acc: acc * 1.0001)
+    full = time_chain(
+        lambda s, d, ww, acc: spmm(s, d, ww, acc, num_nodes, impl=impl)
+    )
+    per_op = max((full - floor) / unroll, 1e-9)
     bytes_moved = spmm_hbm_bytes(num_nodes, num_features, num_edges)
     return {
         "impl": impl,

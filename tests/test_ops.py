@@ -156,3 +156,52 @@ def test_sort_pool_jit_and_grad():
     g = jax.grad(f)(jnp.array(b.x))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_spmm_onehot_matches_xla_and_grads():
+    """The one-hot MXU SpMM formulation == segment-sum SpMM, values and
+    gradients (reduction order differs → allclose, not bitwise)."""
+    from dgcnn_tpu.ops.spmm import spmm_onehot, spmm_xla
+
+    rng = np.random.default_rng(3)
+    n, e, f = 96, 2048, 32
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    w = rng.normal(size=e).astype(np.float32)
+    w[e // 2 :] = 0.0  # padded tail
+    h = rng.normal(size=(n, f)).astype(np.float32)
+
+    args = (jnp.array(src), jnp.array(dst), jnp.array(w), jnp.array(h))
+    want = spmm_xla(*args, n)
+    got = jax.jit(lambda *a: spmm_onehot(*a, n, block=1024))(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn, wv, hv):
+        return fn(jnp.array(src), jnp.array(dst), wv, hv, n).sum()
+
+    gw_x, gh_x = jax.grad(lambda wv, hv: loss(spmm_xla, wv, hv), (0, 1))(
+        jnp.array(w), jnp.array(h))
+    gw_o, gh_o = jax.grad(lambda wv, hv: loss(spmm_onehot, wv, hv), (0, 1))(
+        jnp.array(w), jnp.array(h))
+    np.testing.assert_allclose(np.asarray(gw_o), np.asarray(gw_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gh_o), np.asarray(gh_x), rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_auto_dispatch():
+    """auto → onehot for small N·F with 1024-aligned edges, xla otherwise;
+    both produce the segment-sum result."""
+    rng = np.random.default_rng(4)
+    for n, e in ((64, 1024), (64, 100)):  # aligned vs unaligned edges
+        src = rng.integers(0, n, e).astype(np.int32)
+        dst = np.sort(rng.integers(0, n, e)).astype(np.int32)
+        w = rng.normal(size=e).astype(np.float32)
+        h = rng.normal(size=(n, 8)).astype(np.float32)
+        got = spmm(jnp.array(src), jnp.array(dst), jnp.array(w), jnp.array(h),
+                   n, impl="auto")
+        from dgcnn_tpu.ops.spmm import spmm_xla
+
+        want = spmm_xla(jnp.array(src), jnp.array(dst), jnp.array(w),
+                        jnp.array(h), n)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
