@@ -185,7 +185,17 @@ def densify_on_device(dev: DeviceGraphSet, n_tile: int):
         adj = adj.at[:, diag, diag].add(node_mask)
         deg = adj.sum(axis=2)
         dinv = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
-        adj = adj * dinv[:, :, None] * dinv[:, None, :]
+        # normalize in graph chunks through dynamic_update_slice so peak
+        # HBM stays ~1× the adjacency (a whole-array `adj * dinv * dinv`
+        # would hold input and output simultaneously — 2× at the layout
+        # gate's budget edge)
+        chunk = max(1, (256 << 20) // max(n_tile * n_tile * 4, 1))
+        for i0 in range(0, num_graphs, chunk):
+            i1 = min(num_graphs, i0 + chunk)
+            blk = jax.lax.dynamic_slice_in_dim(adj, i0, i1 - i0, axis=0)
+            dblk = jax.lax.dynamic_slice_in_dim(dinv, i0, i1 - i0, axis=0)
+            blk = blk * dblk[:, :, None] * dblk[:, None, :]
+            adj = jax.lax.dynamic_update_slice_in_dim(adj, blk, i0, axis=0)
         return DenseDataset(
             x=x, adj=adj, node_mask=node_mask, y=dev.y[:num_graphs]
         )

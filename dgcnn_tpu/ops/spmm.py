@@ -45,13 +45,19 @@ def spmm_xla(
     )
 
 
+# block size of the one-hot formulation; also the alignment the auto
+# dispatcher checks (keep in sync — a mismatched gate would select a
+# stream that fails spmm_onehot's divisibility check at trace time)
+ONEHOT_EDGE_BLOCK = 1024
+
+
 def spmm_onehot(
     edge_src: jax.Array,
     edge_dst: jax.Array,
     edge_weight: jax.Array,
     h: jax.Array,
     num_nodes: int,
-    block: int = 1024,
+    block: int = ONEHOT_EDGE_BLOCK,
 ) -> jax.Array:
     """SpMM as MXU matmuls — the TPU answer to "no hardware gather".
 
@@ -92,9 +98,11 @@ def spmm_onehot(
         edge_dst.reshape(nb, block),
         edge_weight.reshape(nb, block),
     )
-    out0 = jnp.zeros((num_nodes, h.shape[1]), h.dtype)
+    # accumulate in fp32 regardless of h's dtype (the matmuls emit fp32
+    # via preferred_element_type; a non-f32 carry would fail scan typing)
+    out0 = jnp.zeros((num_nodes, h.shape[1]), jnp.float32)
     out, _ = jax.lax.scan(body, out0, xs)
-    return out
+    return out.astype(h.dtype)
 
 
 # one-hot SpMM pays 4·N·F FLOPs/edge; the gather path pays ~60 cycles/edge.
@@ -115,21 +123,34 @@ def spmm(
     (SURVEY §2e item 2 — each device owns a slice of the batch adjacency and
     computes a partial aggregate over the full, replicated node set; one
     psum over ICI reconstitutes the exact single-chip result)."""
-    if impl == "onehot" or (
+    aligned = edge_src.shape[0] % ONEHOT_EDGE_BLOCK == 0
+    if (impl == "onehot" and aligned) or (
         impl == "auto"
         and num_nodes * h.shape[1] <= _ONEHOT_MAX_NF
-        and edge_src.shape[0] % 1024 == 0
+        and aligned
     ):
         out = spmm_onehot(edge_src, edge_dst, edge_weight, h, num_nodes)
-    elif impl in ("xla", "auto"):
+    elif impl in ("xla", "auto", "onehot"):
+        # misaligned edge streams (e.g. per-shard chunks of an
+        # edge-partitioned mesh) degrade to the segment-sum path, the same
+        # graceful-fallback contract as impl="pallas"
         out = spmm_xla(edge_src, edge_dst, edge_weight, h, num_nodes)
     elif impl == "pallas":
-        from dgcnn_tpu.kernels.spmm_pallas import spmm_pallas, spmm_pallas_fits
+        from dgcnn_tpu.kernels.spmm_pallas import (
+            spmm_pallas,
+            spmm_pallas_fits,
+            spmm_pallas_mxu,
+            spmm_pallas_mxu_fits,
+        )
 
-        if spmm_pallas_fits(h.shape[0], h.shape[1], edge_src.shape[0]):
-            # Mosaic kernels only run compiled on TPU; interpret elsewhere
-            # (the CPU test mesh).
-            interpret = jax.default_backend() not in ("tpu", "axon")
+        # Mosaic kernels only run compiled on TPU; interpret elsewhere
+        # (the CPU test mesh).
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        if spmm_pallas_mxu_fits(h.shape[0], h.shape[1], edge_src.shape[0]):
+            # the MXU selector-tile variant beats the per-edge gather
+            # kernel where its VMEM selectors fit
+            out = spmm_pallas_mxu(edge_src, edge_dst, edge_weight, h, interpret)
+        elif spmm_pallas_fits(h.shape[0], h.shape[1], edge_src.shape[0]):
             out = spmm_pallas(edge_src, edge_dst, edge_weight, h, interpret)
         else:
             out = spmm_xla(edge_src, edge_dst, edge_weight, h, num_nodes)

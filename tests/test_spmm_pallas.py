@@ -76,3 +76,66 @@ def test_model_forward_pallas_equals_xla():
     np.testing.assert_allclose(
         np.asarray(lp_pal)[:10], np.asarray(lp_xla)[:10], rtol=1e-4, atol=1e-5
     )
+
+
+def test_spmm_pallas_mxu_matches_xla_and_grads():
+    """The MXU selector-tile Pallas variant (dispatched by impl='pallas'
+    when its VMEM selectors fit) == segment-sum, values and gradients."""
+    import jax
+
+    from dgcnn_tpu.kernels.spmm_pallas import (
+        spmm_pallas_mxu,
+        spmm_pallas_mxu_fits,
+    )
+    from dgcnn_tpu.ops.spmm import spmm, spmm_xla
+
+    rng = np.random.default_rng(5)
+    n, e, f = 128, 1024, 16
+    assert spmm_pallas_mxu_fits(n, f, e)
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    w = rng.normal(size=e).astype(np.float32)
+    w[800:] = 0.0
+    h = rng.normal(size=(n, f)).astype(np.float32)
+    a = (jnp.array(src), jnp.array(dst), jnp.array(w), jnp.array(h))
+
+    want = np.asarray(spmm_xla(*a, n))
+    got = np.asarray(spmm_pallas_mxu(*a, True))  # interpret on CPU
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    via_dispatch = np.asarray(spmm(*a, n, impl="pallas"))
+    np.testing.assert_allclose(via_dispatch, want, rtol=1e-5, atol=1e-5)
+
+    gh = jax.grad(lambda hh: spmm_pallas_mxu(a[0], a[1], a[2], hh, True).sum())(a[3])
+    gh_x = jax.grad(lambda hh: spmm_xla(a[0], a[1], a[2], hh, n).sum())(a[3])
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_x), rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_onehot_bf16_and_misaligned_fallback():
+    import jax
+
+    from dgcnn_tpu.ops.spmm import spmm, spmm_xla
+
+    rng = np.random.default_rng(6)
+    n, f = 64, 8
+    # bf16 h through the onehot path: fp32 accumulation, bf16 out
+    e = 1024
+    src = jnp.array(rng.integers(0, n, e).astype(np.int32))
+    dst = jnp.array(np.sort(rng.integers(0, n, e)).astype(np.int32))
+    w = jnp.array(rng.normal(size=e).astype(np.float32))
+    h16 = jnp.array(rng.normal(size=(n, f)).astype(np.float32)).astype(jnp.bfloat16)
+    out = spmm(src, dst, w, h16, n, impl="onehot")
+    assert out.dtype == jnp.bfloat16
+    want = spmm_xla(src, dst, w, h16, n)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    # misaligned stream under impl='onehot' degrades to segment-sum
+    e2 = 100
+    src2 = jnp.array(rng.integers(0, n, e2).astype(np.int32))
+    dst2 = jnp.array(np.sort(rng.integers(0, n, e2)).astype(np.int32))
+    w2 = jnp.array(rng.normal(size=e2).astype(np.float32))
+    h = jnp.array(rng.normal(size=(n, f)).astype(np.float32))
+    got2 = spmm(src2, dst2, w2, h, n, impl="onehot")
+    want2 = spmm_xla(src2, dst2, w2, h, n)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-5)
