@@ -199,3 +199,34 @@ def test_bundled_canonical_folds():
     y = np.arange(40) % 2
     folds = get_folds(y, fold_dir="", num_folds=10, seed=0, data_type="MUTAG")
     assert max(int(te.max()) for _, te in folds) < 40
+
+
+def test_parse_real_tu_quirks(tmp_path):
+    """Real TU files: negative/non-contiguous graph labels, spaces after
+    commas, an edge_labels file (ignored — the model consumes only
+    x/edge_index, reference model.py:27), attrs with mixed spacing."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "Q_A.txt").write_text("1, 2\n2,1\n3, 3\n4,3\n3,4\n")
+    (raw / "Q_graph_indicator.txt").write_text("1\n1\n2\n2\n")
+    (raw / "Q_graph_labels.txt").write_text("-1\n6\n")
+    (raw / "Q_node_labels.txt").write_text("7\n2\n7\n2\n")
+    (raw / "Q_edge_labels.txt").write_text("0\n0\n1\n1\n1\n")
+    (raw / "Q_node_attributes.txt").write_text(
+        "0.5, 1.25\n-0.5,2.0\n3.0, 4.0\n5.0,6.0\n"
+    )
+    gs = parse_tu_dir(str(raw), "Q")
+    assert gs.num_graphs == 2
+    assert gs.num_classes == 2
+    np.testing.assert_array_equal(gs.y, [0, 1])  # {-1,6} → {0,1}
+    # features: 2 attrs + one-hot over {2,7} (2 bins) + degree = 5
+    assert gs.num_features == 5
+    np.testing.assert_allclose(gs.x[0, :2], [0.5, 1.25])
+    # node 0 has label 7 → one-hot column order is sorted unique {2,7}
+    np.testing.assert_allclose(gs.x[0, 2:4], [0.0, 1.0])
+    # graph 1 contains a self-loop (3,3) which counts toward raw in-degree
+    # (Indegree runs before remove_self_loops — reference utils.py:19-20)
+    # g1 in-degrees: node0(global 3): from (3,3)? no — global node 3 is
+    # g1's node 0; edges in g1: (3,3),(4,3),(3,4) → local (0,0),(1,0),(0,1)
+    # in-deg local = [2,1], max 2 → [1.0, 0.5]
+    np.testing.assert_allclose(gs.x[2:, 4], [1.0, 0.5])
