@@ -251,12 +251,11 @@ def main():
     # COO kernel comparison on NCI1 (stderr only)
     nci1_train = splits["NCI1"]
     nci1_edges = _epoch_edges(nci1_train)
-    for impl in ("auto", "xla"):
-        best, _times = _bench_coo(nci1_train, impl)
-        detail[f"NCI1_coo_{impl}"] = {
-            "epoch_ms": round(best * 1e3, 2),
-            "edges_per_s": round(nci1_edges / best, 1),
-        }
+    best, _times = _bench_coo(nci1_train, "auto")
+    detail["NCI1_coo_auto"] = {
+        "epoch_ms": round(best * 1e3, 2),
+        "edges_per_s": round(nci1_edges / best, 1),
+    }
 
     # DD — the heavy-tailed dataset that cannot go single-tile dense;
     # runs the framework-default multi-tile dense engine (stderr only)
