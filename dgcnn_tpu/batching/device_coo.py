@@ -211,18 +211,28 @@ def device_graphset_bytes(dataset: GraphSet) -> int:
     )
 
 
-def gather_coo_batch(dev: DeviceGraphSet, idx_row, bucket: BucketSpec) -> GraphBatch:
+def gather_coo_batch(
+    dev: DeviceGraphSet, idx_row, bucket: BucketSpec, edge_window=None
+) -> GraphBatch:
     """Assemble one packed GraphBatch on device from [slots] graph ids
     (−1 = empty slot). Traced inside jit; every shape is bucket-static.
 
     Matches batching/packer.py `pack_batch` bit-for-bit: same slot
     layout, same padding sentinels (padded nodes carry graph id = slots,
-    padded edges point src 0 → dst N_pad−1), same destination-sorted
-    global edge stream."""
+    padded edges src 0 → dst N_pad−1 with mask 0), same destination-
+    sorted global edge stream.
+
+    `edge_window=(start, length)` (traced start, static length) assembles
+    only that contiguous slice of the batch's edge stream — the
+    edge-partitioned mesh path materializes just its own chunk instead of
+    gathering all e_pad edges and slicing (node arrays are always full)."""
     import jax.numpy as jnp
 
     slots = idx_row.shape[0]
     n_pad, e_pad = bucket.num_nodes, bucket.num_edges
+    e_start = 0
+    if edge_window is not None:
+        e_start, e_pad = edge_window
     num_graphs_total = dev.node_start.shape[0] - 1
 
     valid = idx_row >= 0
@@ -246,7 +256,7 @@ def gather_coo_batch(dev: DeviceGraphSet, idx_row, bucket: BucketSpec) -> GraphB
     node_graph = jnp.where(node_mask, slot_c, slots).astype(jnp.int32)
 
     # --- edges: same mapping over the edge extents ---
-    epos = jnp.arange(e_pad, dtype=jnp.int32)
+    epos = e_start + jnp.arange(e_pad, dtype=jnp.int32)
     eslot = jnp.searchsorted(edge_off[1:], epos, side="right").astype(jnp.int32)
     eslot_c = jnp.minimum(eslot, slots - 1)
     in_edge = epos - edge_off[eslot_c]

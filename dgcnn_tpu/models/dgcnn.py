@@ -80,7 +80,10 @@ def _kaiming_uniform_torch(key, shape, fan_in):
 
 
 def init_params(key: jax.Array, model: DGCNN) -> Params:
-    keys = jax.random.split(key, 16)
+    # GCN layers consume one key each; conv5/conv6/lin1/lin2 two each.
+    # max(16, ...) keeps the key stream identical for the reference
+    # architecture (≤8 GCN layers) while supporting deeper stacks.
+    keys = jax.random.split(key, max(16, len(model.hidden_dims) + 8))
     ki = iter(keys)
 
     gcn = []

@@ -17,8 +17,9 @@ re-designed for TPU:
     that keeps the dense feature block VMEM-resident and pipelines the
     edge stream from HBM.
 
-Padded edges carry weight 0 and point at node 0, so they contribute exactly
-nothing — no dynamic shapes anywhere.
+Padded edges carry weight 0 (src 0 → dst N_pad−1, keeping the destination
+column sorted — the packer contract), so they contribute exactly nothing —
+no dynamic shapes anywhere.
 """
 
 from __future__ import annotations

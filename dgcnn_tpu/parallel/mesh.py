@@ -43,8 +43,12 @@ def make_mesh(
 
 def initialize_multihost(**kwargs) -> None:
     """Multi-host runtime bring-up (SURVEY §2e item 3). No-op when already
-    initialized or running single-process."""
+    initialized; every other failure propagates — silently swallowing a
+    bad-coordinator error would let each host train an independent
+    replica with no warning."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return
+        raise

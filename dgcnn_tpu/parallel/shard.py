@@ -138,10 +138,20 @@ def batch_pspecs(scan_axis: bool = True) -> GraphBatch:
 
 def local_view(batch: GraphBatch) -> GraphBatch:
     """Inside shard_map: drop the [1] data-axis dim on every leaf and the
-    [1] graph-axis dim on edge leaves → device-local single-batch shapes."""
+    [1] graph-axis dim on edge leaves → device-local single-batch shapes.
+    Asserts the dropped axes really are size 1 — a batch packed for MORE
+    shards than the mesh axis would otherwise silently lose sub-batches."""
     def squeeze(name, arr):
+        assert arr.shape[0] == 1, (
+            f"{name}: per-device data-axis block is {arr.shape[0]}, "
+            f"expected 1 — batch packed for a different mesh shape?"
+        )
         arr = arr[0]  # data axis
         if name in EDGE_FIELDS:
+            assert arr.shape[0] == 1, (
+                f"{name}: per-device graph-axis block is {arr.shape[0]}, "
+                f"expected 1 — batch packed for a different mesh shape?"
+            )
             arr = arr[0]  # graph axis
         return arr
 

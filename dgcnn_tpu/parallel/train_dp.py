@@ -204,6 +204,55 @@ def make_dense_dp_epochs(model: DGCNN, optimizer: optax.GradientTransformation,
     return train_epoch, eval_epoch
 
 
+def _make_fused_dp_run(
+    train_loss: Callable, eval_loss: Callable,
+    optimizer: optax.GradientTransformation,
+) -> Callable:
+    """Shared fused multi-epoch runner skeleton for the sharded engines:
+    `run(params, opt_state, rng, data, orders, test_orders)` scans epochs
+    (outer) and steps (inner), evaluates per epoch, and returns stacked
+    [k, 4] metric rows. `train_loss/eval_loss(params, data, xs, rng)` are
+    the only variation points between the dense and device-COO mesh
+    paths."""
+    dummy = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(params, opt_state, rng, data, orders, test_orders):
+        def train_step(carry, xs):
+            params, opt_state, rng = carry
+            rng, sub = jax.random.split(rng)
+            (loss, correct), grads = jax.value_and_grad(
+                lambda p: train_loss(p, data, xs, sub), has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, correct)
+
+        def epoch(carry, epoch_orders):
+            carry, (losses, corrects) = jax.lax.scan(
+                train_step, carry, epoch_orders
+            )
+            params = carry[0]
+
+            def eval_body(c, xs):
+                return c, eval_loss(params, data, xs, dummy)
+
+            _, (te_losses, te_corrects) = jax.lax.scan(
+                eval_body, None, test_orders
+            )
+            row = jnp.stack(
+                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
+            )
+            return carry, row
+
+        (params, opt_state, rng), rows = jax.lax.scan(
+            epoch, (params, opt_state, rng), orders
+        )
+        return params, opt_state, rng, rows
+
+    return run
+
+
 def make_dense_dp_run(model: DGCNN, optimizer: optax.GradientTransformation,
                       mesh: Mesh) -> Callable:
     """FUSED multi-epoch mesh runner (the sharded counterpart of
@@ -216,43 +265,11 @@ def make_dense_dp_run(model: DGCNN, optimizer: optax.GradientTransformation,
     order4d: [k, steps, n_data, slots] (sharded P(None, None, "data"));
     test_order3d: [t_steps, n_data, slots]. Rows are identical to k
     sequential make_dense_dp_epochs calls."""
-    train_loss = _make_dense_dp_loss(model, mesh, deterministic=False)
-    eval_loss = _make_dense_dp_loss(model, mesh, deterministic=True)
-    dummy = jax.random.PRNGKey(0)
-
-    @jax.jit
-    def run(params, opt_state, rng, data, order4d, test_order3d):
-        def train_step(carry, idx_rows):
-            params, opt_state, rng = carry
-            rng, sub = jax.random.split(rng)
-            (loss, correct), grads = jax.value_and_grad(
-                lambda p: train_loss(p, data, idx_rows, sub), has_aux=True
-            )(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, rng), (loss, correct)
-
-        def epoch(carry, order3d):
-            carry, (losses, corrects) = jax.lax.scan(train_step, carry, order3d)
-            params = carry[0]
-
-            def eval_body(c, idx_rows):
-                return c, eval_loss(params, data, idx_rows, dummy)
-
-            _, (te_losses, te_corrects) = jax.lax.scan(
-                eval_body, None, test_order3d
-            )
-            row = jnp.stack(
-                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
-            )
-            return carry, row
-
-        (params, opt_state, rng), rows = jax.lax.scan(
-            epoch, (params, opt_state, rng), order4d
-        )
-        return params, opt_state, rng, rows
-
-    return run
+    return _make_fused_dp_run(
+        _make_dense_dp_loss(model, mesh, deterministic=False),
+        _make_dense_dp_loss(model, mesh, deterministic=True),
+        optimizer,
+    )
 
 
 def _make_device_coo_dp_loss(model: DGCNN, mesh: Mesh, bucket, spmm_impl: str,
@@ -263,8 +280,6 @@ def _make_device_coo_dp_loss(model: DGCNN, mesh: Mesh, bucket, spmm_impl: str,
     (batching/device_coo.py); each "graph"-axis device aggregates its
     contiguous chunk of the sub-batch's dst-sorted edge stream, psum'd per
     GCN layer (the spmm edge_axis path)."""
-    import dataclasses as _dc
-
     from dgcnn_tpu.batching.device_coo import gather_coo_batch
 
     n_graph = mesh.shape["graph"]
@@ -279,14 +294,12 @@ def _make_device_coo_dp_loss(model: DGCNN, mesh: Mesh, bucket, spmm_impl: str,
         out_specs=(P(), P()),
     )
     def f(params, dev, idx_row, rng):
-        batch = gather_coo_batch(dev, idx_row[0], bucket)
+        # each graph-axis device assembles ONLY its contiguous edge chunk
+        # (node arrays are replicated; materializing all e_pad edges and
+        # slicing would do n_graph× the assembly work per device)
         gi = jax.lax.axis_index("graph")
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, gi * chunk, chunk)
-        local = _dc.replace(
-            batch,
-            edge_src=sl(batch.edge_src),
-            edge_dst=sl(batch.edge_dst),
-            edge_mask=sl(batch.edge_mask),
+        local = gather_coo_batch(
+            dev, idx_row[0], bucket, edge_window=(gi * chunk, chunk)
         )
         dropout_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         lp = apply(
@@ -317,43 +330,11 @@ def make_device_coo_dp_run(model: DGCNN, optimizer: optax.GradientTransformation
 
     order4d: [k, steps, n_data, slots_local] int32, sharded
     P(None, None, "data"); test_order3d: [t_steps, n_data, slots_local]."""
-    train_loss = _make_device_coo_dp_loss(model, mesh, bucket, spmm_impl, False)
-    eval_loss = _make_device_coo_dp_loss(model, mesh, bucket, spmm_impl, True)
-    dummy = jax.random.PRNGKey(0)
-
-    @jax.jit
-    def run(params, opt_state, rng, dev, order4d, test_order3d):
-        def train_step(carry, idx_rows):
-            params, opt_state, rng = carry
-            rng, sub = jax.random.split(rng)
-            (loss, correct), grads = jax.value_and_grad(
-                lambda p: train_loss(p, dev, idx_rows, sub), has_aux=True
-            )(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, rng), (loss, correct)
-
-        def epoch(carry, order3d):
-            carry, (losses, corrects) = jax.lax.scan(train_step, carry, order3d)
-            params = carry[0]
-
-            def eval_body(c, idx_rows):
-                return c, eval_loss(params, dev, idx_rows, dummy)
-
-            _, (te_losses, te_corrects) = jax.lax.scan(
-                eval_body, None, test_order3d
-            )
-            row = jnp.stack(
-                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
-            )
-            return carry, row
-
-        (params, opt_state, rng), rows = jax.lax.scan(
-            epoch, (params, opt_state, rng), order4d
-        )
-        return params, opt_state, rng, rows
-
-    return run
+    return _make_fused_dp_run(
+        _make_device_coo_dp_loss(model, mesh, bucket, spmm_impl, False),
+        _make_device_coo_dp_loss(model, mesh, bucket, spmm_impl, True),
+        optimizer,
+    )
 
 
 def device_put_epoch(batches, mesh: Mesh):
