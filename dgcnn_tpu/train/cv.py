@@ -407,6 +407,23 @@ class MultiDenseEngine(EngineBase):
         self._data = classes
         self._run = make_multi_dense_run(model, optimizer)
         self._slot_floor = np.full(len(tiles), 4, dtype=np.int64)
+        # pre-grow the slot floors over sampled full-dataset shuffles so
+        # the first compiled program covers (nearly) every batch the run
+        # will see — per-chunk slot growth forces a full recompile, which
+        # is expensive for the conditional multi-class program. The
+        # grow-only fallback still guards genuinely unlucky batches.
+        warm_rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, 0]))
+        self._slots_for(
+            *(warm_rng.permutation(dataset.num_graphs) for _ in range(40))
+        )
+        # +25% headroom (capped at the batch size) so fold-subset batches
+        # land under the warmed floors instead of forcing a mid-run
+        # recompile; the padding costs ~that fraction of device time,
+        # far cheaper than a second multi-minute compile
+        cap = -(-cfg.batch_size // 4) * 4
+        self._slot_floor = np.minimum(
+            np.ceil(self._slot_floor * 1.25 / 4).astype(np.int64) * 4, cap
+        )
 
     def _slots_for(self, *order_seqs) -> tuple:
         """Grow-only per-class slot counts covering every batch in the
