@@ -416,14 +416,11 @@ class MultiDenseEngine(EngineBase):
         self._slots_for(
             *(warm_rng.permutation(dataset.num_graphs) for _ in range(40))
         )
-        # +25% headroom (capped at the batch size) so fold-subset batches
-        # land under the warmed floors instead of forcing a mid-run
-        # recompile; the padding costs ~that fraction of device time,
-        # far cheaper than a second multi-minute compile
+        # cap at the batch size (a class can never exceed it); headroom
+        # beyond the warmed floors was measured to cost more device time
+        # (~20%/epoch) than the occasional extra compile it avoids
         cap = -(-cfg.batch_size // 4) * 4
-        self._slot_floor = np.minimum(
-            np.ceil(self._slot_floor * 1.25 / 4).astype(np.int64) * 4, cap
-        )
+        self._slot_floor = np.minimum(self._slot_floor, cap)
 
     def _slots_for(self, *order_seqs) -> tuple:
         """Grow-only per-class slot counts covering every batch in the
