@@ -82,28 +82,24 @@ def spmm_onehot(
         raise ValueError(f"edge count {e} not a multiple of {block}")
     iota = jnp.arange(num_nodes, dtype=jnp.int32)
 
-    def body(out, xs):
-        s, d, w = xs  # [block] each
+    def block_out(s, d, w):  # [block] each → [N, F] partial
         oh_src = (s[:, None] == iota[None, :]).astype(h.dtype)
         gathered = jnp.dot(oh_src, h, preferred_element_type=jnp.float32)
         gathered = gathered * w[:, None]
         oh_dst = (d[:, None] == iota[None, :]).astype(h.dtype)
-        out = out + jnp.dot(
-            oh_dst.T, gathered, preferred_element_type=jnp.float32
-        )
-        return out, None
+        return jnp.dot(oh_dst.T, gathered, preferred_element_type=jnp.float32)
 
     nb = e // block
-    xs = (
+    # vmap-and-sum instead of a scan carry: carry-free, so it composes
+    # with shard_map (a scan carry's varying-axes type would mismatch its
+    # unvarying zeros init inside the edge-partitioned mesh path), and
+    # XLA fuses the block-sum anyway. fp32 accumulation throughout.
+    outs = jax.vmap(block_out)(
         edge_src.reshape(nb, block),
         edge_dst.reshape(nb, block),
         edge_weight.reshape(nb, block),
     )
-    # accumulate in fp32 regardless of h's dtype (the matmuls emit fp32
-    # via preferred_element_type; a non-f32 carry would fail scan typing)
-    out0 = jnp.zeros((num_nodes, h.shape[1]), jnp.float32)
-    out, _ = jax.lax.scan(body, out0, xs)
-    return out.astype(h.dtype)
+    return outs.sum(axis=0).astype(h.dtype)
 
 
 # one-hot SpMM pays 4·N·F FLOPs/edge; the gather path pays ~60 cycles/edge.

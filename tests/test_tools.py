@@ -1,0 +1,53 @@
+"""Smoke tests for the ops tooling: release report rendering and the
+mesh scaling benchmark driver."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+
+def test_release_report_renders(tmp_path):
+    from tools import release_report
+
+    stats = tmp_path / "statistics"
+    stats.mkdir()
+    with open(tmp_path / "summary.jsonl", "w") as f:
+        f.write(json.dumps({"dataset": "MUTAG", "wall_s": 12.5,
+                            "test_acc_mean": 90.0, "test_acc_std": 2.0,
+                            "train_acc_mean": 95.0}) + "\n")
+    with open(stats / "MUTAG_events.jsonl", "w") as f:
+        for e in range(4):
+            f.write(json.dumps({"kind": "epoch", "fold": 1, "epoch": e + 1,
+                                "epoch_seconds": 0.004,
+                                "folds_in_lockstep": 10}) + "\n")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        release_report.main(str(tmp_path))
+    out = buf.getvalue()
+    assert "| MUTAG |" in out
+    # 4 ms lockstep row over 10 folds → 0.4 ms per fold-epoch
+    assert "0.4 ms" in out
+    # datasets without runs render with their reference numbers
+    assert "| DD | — |" in out
+
+
+def test_bench_scaling_mechanics():
+    """bench_scaling runs end-to-end on a tiny virtual CPU mesh and emits
+    well-formed efficiency JSON (subprocess: it must configure the
+    platform before any backend touch)."""
+    out = subprocess.run(
+        [sys.executable, "tools/bench_scaling.py", "--data_type", "MUTAG",
+         "--force_cpu", "2", "--meshes", "1,1", "2,1",
+         "--epochs_per_dispatch", "1"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = json.loads(out.stdout)
+    assert [r["mesh"] for r in rows] == ["1,1", "2,1"]
+    assert rows[0]["scaling_efficiency_pct"] == 100.0
+    assert all(np.isfinite(r["edges_per_s"]) for r in rows)
