@@ -22,7 +22,7 @@ import zipfile
 from typing import Optional, Tuple
 
 from dgcnn_tpu.data.graphset import GraphSet
-from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
+from dgcnn_tpu.data.synthetic import SYNTHETIC_VERSION, synthesize_tu_dataset
 from dgcnn_tpu.data.tu_parser import parse_tu_dir
 
 # Published stats of the eight benchmarks (reference README.md:62-94;
@@ -132,9 +132,10 @@ def load_dataset(
     if allow_synthetic:
         # synthetic datasets cache separately from real ones (never under
         # the real cache path, so adding real data later wins), keyed by
-        # generator defaults — regeneration is O(10s) for COLLAB/DD
+        # the generator VERSION so a generator change invalidates stale
+        # caches — regeneration is O(10s) for COLLAB/DD
         synth_cache = os.path.join(
-            root, name, "processed", f"{name}_synthetic.npz"
+            root, name, "processed", f"{name}_synthetic_v{SYNTHETIC_VERSION}.npz"
         )
         if os.path.exists(synth_cache):
             return GraphSet.from_npz(synth_cache), DatasetMeta(

@@ -7,8 +7,11 @@ produce datasets with the same *shape contract* as each benchmark —
 graph/class counts, feature decomposition (attrs ‖ one-hot labels ‖ degree,
 SURVEY §2d), node-count and edge-density statistics — so every code path
 (packing, kernels, CV driver, bench) exercises realistic shapes. A planted
-class signal (class-dependent edge density, node-label histogram, and attr
-shift) makes them learnable, so training tests can assert accuracy.
+class signal makes them learnable, so training tests can assert accuracy:
+class-dependent edge density, node-label histogram, and attr shift — plus,
+for the degree-only datasets (COLLAB/IMDB, where per-graph degree
+normalization + top-k SortPooling erase most distributional signals),
+class-dependent degree assortativity and graph size (_sample_two_block).
 
 Features are assembled through the same `assemble_features` as the real
 parser, so parser↔synthetic round-trips are bit-exact (tests/test_data.py).
@@ -22,6 +25,10 @@ import numpy as np
 
 from dgcnn_tpu.data.graphset import GraphSet
 from dgcnn_tpu.data.tu_parser import assemble_features
+
+# bump whenever generated output changes — the synthetic npz cache filename
+# embeds it, so stale caches from an older generator never get loaded
+SYNTHETIC_VERSION = 2
 
 # Shape statistics of the eight reference benchmarks (graph/class counts:
 # reference README.md:62-83; feature decomposition: README.md:84-94 and
@@ -84,6 +91,45 @@ def _sample_undirected_edges(rng: np.random.Generator, n: int, m: int):
     return u.astype(np.int32), v.astype(np.int32)
 
 
+def _sample_two_block(rng: np.random.Generator, n: int, target_m: int,
+                      t: float, rho: float = 0.3, ratio: float = 4.0):
+    """Degree-heterogeneous two-block Bernoulli graph with tunable
+    assortativity `t`: a random `rho`-fraction core carries `ratio`× the
+    Chung-Lu weight of the periphery, and same-block pairs are further
+    scaled by (1+t), cross-block by (1-t). The edge-probability scale is
+    bisected so E[#edges] == target_m.
+
+    Why this signal for the degree-only datasets (COLLAB/IMDB): the only
+    node feature is the per-graph max-normalized degree (reference
+    utils.py:22-23), and SortPooling keeps only the TOP-k nodes of the
+    learned (degree-correlated) sort order — so the class signal must be
+    visible in the 1-hop neighborhoods of the HIGHEST-degree nodes. A
+    density shift is normalized away; a low-degree tail is truncated by
+    top-k. Assortativity is exactly what one GCN layer reads there: in an
+    assortative graph (t>0) high-degree nodes aggregate high-degree
+    neighbors, in a disassortative one (t<0) they aggregate low-degree
+    neighbors. A Hamiltonian-path backbone keeps degree ≥ 1."""
+    iu, iv = np.triu_indices(n, 1)
+    core = np.zeros(n, dtype=bool)
+    core[rng.permutation(n)[: max(1, round(rho * n))]] = True
+    w = np.where(core, ratio, 1.0)
+    same = core[iu] == core[iv]
+    pw = w[iu] * w[iv] * np.where(same, 1.0 + t, 1.0 - t)
+    target = float(np.clip(target_m, 1, len(pw)))
+    lo, hi = 0.0, 1.0 / max(pw.min(), 1e-6)  # q=hi → every pair kept
+    for _ in range(50):
+        mid = 0.5 * (lo + hi)
+        if np.minimum(1.0, mid * pw).sum() < target:
+            lo = mid
+        else:
+            hi = mid
+    keep = rng.random(len(pw)) < np.minimum(1.0, hi * pw)
+    codes = iu[keep].astype(np.int64) * n + iv[keep]
+    chain_u = np.arange(n - 1, dtype=np.int64)
+    codes = np.union1d(codes, chain_u * n + (chain_u + 1))
+    return (codes // n).astype(np.int32), (codes % n).astype(np.int32)
+
+
 def synthesize_tu_dataset(
     name: str, num_graphs: Optional[int] = None, seed: int = 0
 ) -> GraphSet:
@@ -105,14 +151,31 @@ def synthesize_tu_dataset(
     node_ptr = np.zeros(g + 1, dtype=np.int64)
     edge_ptr = np.zeros(g + 1, dtype=np.int64)
     srcs, dsts, labels_list, attrs_list = [], [], [], []
+    degree_only = not n_labels and not n_attrs
     for i in range(g):
+        # degree-only datasets also shift node count per class (±10-20%):
+        # the smallest COLLAB/IMDB graphs saturate to cliques at the
+        # profile density, where no degree-distribution signal can exist —
+        # size is the signal that carries them
+        size_mu = p["avg_nodes"] * (
+            (1.0 + 0.2 * (float(y[i]) - (c - 1) / 2.0)) if degree_only else 1.0
+        )
         n = int(np.clip(
-            round(rng.lognormal(np.log(p["avg_nodes"]), p["sigma"])),
+            round(rng.lognormal(np.log(size_mu), p["sigma"])),
             5, p["max_nodes"],
         ))
         # planted signal: class shifts edge density ±25%
         d = p["avg_degree"] * (1.0 + 0.25 * (float(y[i]) - (c - 1) / 2.0))
-        u, v = _sample_undirected_edges(rng, n, round(n * d / 2.0))
+        if degree_only:
+            # class additionally sets the degree assortativity — see
+            # _sample_two_block for why the density shift alone does not
+            # reach the model through normalization + top-k SortPooling on
+            # the larger graphs (it DOES for sub-k graphs, where
+            # SortPooling keeps every node — the signals compose)
+            t = 0.7 * (2.0 * float(y[i]) / max(1, c - 1) - 1.0)
+            u, v = _sample_two_block(rng, n, round(n * d / 2.0), t)
+        else:
+            u, v = _sample_undirected_edges(rng, n, round(n * d / 2.0))
         # store both directions (TU graphs are symmetric — SURVEY §2c)
         srcs.append(np.concatenate([u, v]))
         dsts.append(np.concatenate([v, u]))

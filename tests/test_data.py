@@ -106,6 +106,29 @@ def test_degree_only_datasets():
     assert gs.num_features == 1
 
 
+def test_degree_only_planted_signal_survives_normalization():
+    """The degree-only class signal is degree ASSORTATIVITY (class sets the
+    core/periphery mixing of a two-block model), chosen because it is what
+    a GCN layer can read on the top-degree nodes that survive per-graph max
+    degree normalization (reference utils.py:22-23) AND top-k SortPooling —
+    a plain density shift survives neither. Pin the separation: the mean
+    degree/neighbor-mean-degree correlation must rise with class index."""
+    gs = synthesize_tu_dataset("IMDB-BINARY", num_graphs=200, seed=0)
+    assort = {c: [] for c in range(gs.num_classes)}
+    for i in range(len(gs.y)):
+        lo, hi = gs.node_ptr[i], gs.node_ptr[i + 1]
+        f = gs.x[lo:hi, -1].astype(np.float64)
+        el, eh = gs.edge_ptr[i], gs.edge_ptr[i + 1]
+        s, d = gs.edge_src[el:eh], gs.edge_dst[el:eh]  # graph-local
+        deg = np.bincount(d, minlength=hi - lo).astype(np.float64)
+        nm = np.bincount(d, weights=f[s], minlength=hi - lo)
+        nm /= np.maximum(deg, 1)
+        if f.std() > 0 and nm.std() > 0:
+            assort[int(gs.y[i])].append(float(np.corrcoef(f, nm)[0, 1]))
+    means = [np.mean(assort[c]) for c in range(gs.num_classes)]
+    assert means[1] - means[0] > 0.4, means
+
+
 def test_profiles_match_published_stats():
     for name, stats in DATASET_STATS.items():
         p = PROFILES[name]
