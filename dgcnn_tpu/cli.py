@@ -54,6 +54,11 @@ def get_args(argv=None):
                         help="save an in-flight resume bundle every N epochs")
     parser.add_argument("--log_every", default=0, type=int,
                         help="print metrics every N epochs (0 = per-fold only)")
+    parser.add_argument("--tensorboard", default=None, type=str, metavar="DIR",
+                        help="export per-fold metric curves as TensorBoard "
+                             "event files into DIR at run end (the visdom "
+                             "replacement; also available post-hoc via "
+                             "tools/export_tensorboard.py)")
     parser.add_argument("--profile", default=None, type=str, metavar="DIR",
                         help="capture a jax.profiler device trace of the run "
                              "into DIR (view with TensorBoard/xprof)")
@@ -84,6 +89,7 @@ def main(argv=None):
         checkpoint_resume=opt.resume,
         checkpoint_every=opt.ckpt_every,
         log_every=opt.log_every,
+        tensorboard_dir=opt.tensorboard,
     )
     with ctx:
         return run_cross_validation(cfg, allow_synthetic=opt.synthetic)

@@ -133,6 +133,9 @@ class Config:
     # every N epochs so --resume restarts mid-fold; 0 = fold-level only
     checkpoint_every: int = 0
     log_every: int = 0  # epochs between stdout metric lines; 0 = silent
+    # export the run's event stream as TensorBoard event files into this
+    # directory at run end (None = skip; see train/tensorboard.py)
+    tensorboard_dir: Optional[str] = None
 
     def __post_init__(self):
         if self.data_type not in DATASETS:

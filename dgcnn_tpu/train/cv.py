@@ -1003,6 +1003,13 @@ def _finalize_cv(cfg: Config, events: EventLog, train_accs, test_accs):
         render_curves(cfg.statistics_dir, cfg.data_type)
     except Exception as e:  # plotting is best-effort observability
         print(f"(curve rendering skipped: {e})")
+    if cfg.tensorboard_dir and events.path:
+        try:  # TensorBoard export is best-effort observability too
+            from dgcnn_tpu.train.tensorboard import export_events
+
+            export_events(events.path, cfg.tensorboard_dir)
+        except Exception as e:
+            print(f"(tensorboard export skipped: {e})")
     tr, te = np.array(train_accs), np.array(test_accs)
     # same summary line format as reference train.py:146-148
     print(

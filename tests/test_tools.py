@@ -36,6 +36,30 @@ def test_release_report_renders(tmp_path):
     assert "| DD | — |" in out
 
 
+def test_tensorboard_export(tmp_path):
+    """The JSONL→TensorBoard converter writes per-fold event files with the
+    visdom-equivalent scalar series (SURVEY §5)."""
+    from dgcnn_tpu.train.tensorboard import export_events
+
+    ev = tmp_path / "MUTAG_events.jsonl"
+    with open(ev, "w") as f:
+        f.write(json.dumps({"kind": "run_start"}) + "\n")
+        for fold in (1, 2):
+            for e in (1, 2, 3):
+                f.write(json.dumps({
+                    "kind": "epoch", "fold": fold, "epoch": e, "ts": 1e9,
+                    "train_loss": 0.5, "test_loss": 0.6,
+                    "train_accuracy": 90.0, "test_accuracy": 85.0,
+                    "edges_per_second": 1e8, "epoch_seconds": 0.01,
+                }) + "\n")
+    n = export_events(str(ev), str(tmp_path / "runs"))
+    assert n == 2 * 3 * 6
+    for fold in (1, 2):
+        d = tmp_path / "runs" / "MUTAG" / f"fold_{fold}"
+        files = list(d.glob("events.out.tfevents.*"))
+        assert files and files[0].stat().st_size > 0
+
+
 def test_bench_scaling_mechanics():
     """bench_scaling runs end-to-end on a tiny virtual CPU mesh and emits
     well-formed efficiency JSON (subprocess: it must configure the
