@@ -154,6 +154,8 @@ def densify_on_device(dev: DeviceGraphSet, n_tile: int):
     ONE scatter over the flat edge stream plus a degree normalize.
     Numerically identical to the host builder (tests/test_device_coo.py).
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -161,8 +163,14 @@ def densify_on_device(dev: DeviceGraphSet, n_tile: int):
 
     num_graphs = int(dev.node_start.shape[0] - 1)
 
+    # TWO programs, not one: fusing the edge scatter with the chunked
+    # normalize makes XLA pick a catastrophically slow schedule for the
+    # combined program (measured 154 s executing — and minutes compiling —
+    # for COLLAB's 26.7M-edge, 4.9 GB adjacency; the same math split in two
+    # runs in seconds). The normalize donates the adjacency so peak HBM
+    # stays ~1× either way.
     @jax.jit
-    def build(dev):
+    def build_raw(dev):
         nc = dev.node_count[:num_graphs]  # [G]
         # features: gather each graph's rows into its tile
         pos = jnp.arange(n_tile, dtype=jnp.int32)
@@ -180,15 +188,19 @@ def densify_on_device(dev: DeviceGraphSet, n_tile: int):
         adj = jnp.zeros((num_graphs, n_tile, n_tile), jnp.float32)
         adj = adj.at[graph_of_edge, dev.edge_dst, dev.edge_src].add(1.0)
 
-        # re-added self-loops on real nodes + symmetric normalization
+        # re-added self-loops on real nodes
         diag = jnp.arange(n_tile, dtype=jnp.int32)
         adj = adj.at[:, diag, diag].add(node_mask)
+        return x, node_mask, adj
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def normalize(adj):
+        # symmetric normalization, in graph chunks through
+        # dynamic_update_slice so peak HBM stays ~1× the adjacency (a
+        # whole-array `adj * dinv * dinv` would hold input and output
+        # simultaneously — 2× at the layout gate's budget edge)
         deg = adj.sum(axis=2)
         dinv = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
-        # normalize in graph chunks through dynamic_update_slice so peak
-        # HBM stays ~1× the adjacency (a whole-array `adj * dinv * dinv`
-        # would hold input and output simultaneously — 2× at the layout
-        # gate's budget edge)
         chunk = max(1, (256 << 20) // max(n_tile * n_tile * 4, 1))
         for i0 in range(0, num_graphs, chunk):
             i1 = min(num_graphs, i0 + chunk)
@@ -196,11 +208,12 @@ def densify_on_device(dev: DeviceGraphSet, n_tile: int):
             dblk = jax.lax.dynamic_slice_in_dim(dinv, i0, i1 - i0, axis=0)
             blk = blk * dblk[:, :, None] * dblk[:, None, :]
             adj = jax.lax.dynamic_update_slice_in_dim(adj, blk, i0, axis=0)
-        return DenseDataset(
-            x=x, adj=adj, node_mask=node_mask, y=dev.y[:num_graphs]
-        )
+        return adj
 
-    return build(dev)
+    x, node_mask, adj = build_raw(dev)
+    return DenseDataset(
+        x=x, adj=normalize(adj), node_mask=node_mask, y=dev.y[:num_graphs]
+    )
 
 
 def device_graphset_bytes(dataset: GraphSet) -> int:
