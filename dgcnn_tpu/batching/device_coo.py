@@ -154,21 +154,44 @@ def densify_on_device(dev: DeviceGraphSet, n_tile: int):
     ONE scatter over the flat edge stream plus a degree normalize.
     Numerically identical to the host builder (tests/test_device_coo.py).
     """
+    build_raw, normalize = _densify_jits(int(dev.node_start.shape[0] - 1), n_tile)
+    x, node_mask, adj = build_raw(dev)
+    adj = normalize(adj)
+    _fence_build(adj)
+    from dgcnn_tpu.batching.dense import DenseDataset
+
+    return DenseDataset(
+        x=x, adj=adj, node_mask=node_mask, y=dev.y[: x.shape[0]]
+    )
+
+
+def _fence_build(adj) -> None:
+    """Fence a one-time build before training dispatches: enqueueing the
+    first fused train dispatch behind a still-executing build makes the
+    combined pipeline ~5× slower on the remote transport (measured 436 s
+    vs 86 s build+first-chunk for COLLAB). A tiny value fetch is the only
+    reliable fence — block_until_ready can return before remote execution
+    finishes on this transport."""
+    import jax
+
+    jax.device_get(adj[0, :1, :1])
+
+
+def _densify_jits(num_graphs: int, n_tile: int):
+    """The two jitted densify programs for a (num_graphs, n_tile) class.
+
+    TWO programs, not one: fusing the edge scatter with the chunked
+    normalize makes XLA pick a catastrophically slow schedule for the
+    combined program (measured 154 s executing — and minutes compiling —
+    for COLLAB's 26.7M-edge, 4.9 GB adjacency; the same math split in two
+    runs in seconds). The normalize donates the adjacency so peak HBM
+    stays ~1× either way.
+    """
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    from dgcnn_tpu.batching.dense import DenseDataset
-
-    num_graphs = int(dev.node_start.shape[0] - 1)
-
-    # TWO programs, not one: fusing the edge scatter with the chunked
-    # normalize makes XLA pick a catastrophically slow schedule for the
-    # combined program (measured 154 s executing — and minutes compiling —
-    # for COLLAB's 26.7M-edge, 4.9 GB adjacency; the same math split in two
-    # runs in seconds). The normalize donates the adjacency so peak HBM
-    # stays ~1× either way.
     @jax.jit
     def build_raw(dev):
         nc = dev.node_count[:num_graphs]  # [G]
@@ -210,16 +233,49 @@ def densify_on_device(dev: DeviceGraphSet, n_tile: int):
             adj = jax.lax.dynamic_update_slice_in_dim(adj, blk, i0, axis=0)
         return adj
 
-    x, node_mask, adj = build_raw(dev)
-    adj = normalize(adj)
-    # Fence the build before returning: enqueueing training dispatches
-    # behind the still-executing build makes the combined pipeline ~5×
-    # slower on the remote transport (measured 436 s vs 86 s build+first-
-    # chunk for COLLAB). A tiny value fetch is the only reliable fence
-    # here — block_until_ready can return before remote execution
-    # finishes on this transport.
-    jax.device_get(adj[0, :1, :1])
-    return DenseDataset(x=x, adj=adj, node_mask=node_mask, y=dev.y[:num_graphs])
+    return build_raw, normalize
+
+
+def densify_many_on_device(devs, tiles):
+    """Densify several (DeviceGraphSet, tile) classes, COMPILING all their
+    programs concurrently first, then executing sequentially (fenced).
+
+    On this platform the one-time program cost dominates multi-class init
+    (~13-30 s XLA compile per class; the persistent compilation cache
+    cannot shortcut it — executable deserialization recompiles on load),
+    and the per-class programs are independent, so AOT-compile them on a
+    thread pool: multi-tile DD engine init drops from ~190 s to ~the
+    slowest single compile."""
+    import concurrent.futures
+
+    import jax
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.batching.dense import DenseDataset
+
+    def compile_class(dev, n_tile):
+        g = int(dev.node_start.shape[0] - 1)
+        build_raw, normalize = _densify_jits(g, n_tile)
+        adj_shape = jax.ShapeDtypeStruct((g, n_tile, n_tile), jnp.float32)
+        return (
+            build_raw.lower(dev).compile(),
+            normalize.lower(adj_shape).compile(),
+        )
+
+    with concurrent.futures.ThreadPoolExecutor(
+        max_workers=max(1, len(tiles))
+    ) as ex:
+        compiled = list(ex.map(compile_class, devs, tiles))
+
+    out = []
+    for dev, (build_c, norm_c) in zip(devs, compiled):
+        x, node_mask, adj = build_c(dev)
+        adj = norm_c(adj)
+        _fence_build(adj)
+        out.append(
+            DenseDataset(x=x, adj=adj, node_mask=node_mask, y=dev.y[: x.shape[0]])
+        )
+    return out
 
 
 def device_graphset_bytes(dataset: GraphSet) -> int:

@@ -97,15 +97,17 @@ def build_multi_dense_on_device(
 
     from dgcnn_tpu.batching.device_coo import (
         build_device_graphset,
-        densify_on_device,
+        densify_many_on_device,
     )
 
     routing = build_routing(dataset.node_counts(), tiles)
-    classes = []
-    for c, t in enumerate(routing.tiles):
-        members = np.flatnonzero(routing.class_of == c)
-        dev = jax.device_put(build_device_graphset(dataset.subset(members)))
-        classes.append(densify_on_device(dev, int(t)))
+    devs = [
+        jax.device_put(build_device_graphset(
+            dataset.subset(np.flatnonzero(routing.class_of == c))
+        ))
+        for c in range(len(routing.tiles))
+    ]
+    classes = densify_many_on_device(devs, [int(t) for t in routing.tiles])
     return tuple(classes), routing
 
 
