@@ -154,15 +154,7 @@ def densify_on_device(dev: DeviceGraphSet, n_tile: int):
     ONE scatter over the flat edge stream plus a degree normalize.
     Numerically identical to the host builder (tests/test_device_coo.py).
     """
-    build_raw, normalize = _densify_jits(int(dev.node_start.shape[0] - 1), n_tile)
-    x, node_mask, adj = build_raw(dev)
-    adj = normalize(adj)
-    _fence_build(adj)
-    from dgcnn_tpu.batching.dense import DenseDataset
-
-    return DenseDataset(
-        x=x, adj=adj, node_mask=node_mask, y=dev.y[: x.shape[0]]
-    )
+    return densify_many_on_device([dev], [n_tile])[0]
 
 
 def _fence_build(adj) -> None:
@@ -174,7 +166,8 @@ def _fence_build(adj) -> None:
     finishes on this transport."""
     import jax
 
-    jax.device_get(adj[0, :1, :1])
+    if adj.shape[0]:  # an empty tile class has nothing to wait for
+        jax.device_get(adj[0, :1, :1])
 
 
 def _densify_jits(num_graphs: int, n_tile: int):
@@ -267,14 +260,20 @@ def densify_many_on_device(devs, tiles):
     ) as ex:
         compiled = list(ex.map(compile_class, devs, tiles))
 
+    devs = list(devs)
     out = []
-    for dev, (build_c, norm_c) in zip(devs, compiled):
+    for i in range(len(devs)):
+        dev, (build_c, norm_c) = devs[i], compiled[i]
+        # drop the COO buffers and executables as soon as each class is
+        # done — keeping every class's graphset pinned through all the
+        # multi-GB dense builds raises peak HBM for nothing
+        devs[i] = compiled[i] = None
+        y = dev.y[: int(dev.node_start.shape[0] - 1)]
         x, node_mask, adj = build_c(dev)
+        del dev, build_c
         adj = norm_c(adj)
         _fence_build(adj)
-        out.append(
-            DenseDataset(x=x, adj=adj, node_mask=node_mask, y=dev.y[: x.shape[0]])
-        )
+        out.append(DenseDataset(x=x, adj=adj, node_mask=node_mask, y=y))
     return out
 
 

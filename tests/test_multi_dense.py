@@ -41,6 +41,29 @@ def test_plan_tiles_and_routing():
         )
 
 
+def test_build_on_device_with_empty_tile_class():
+    """A caller-chosen ladder may leave a bracket with zero graphs; the
+    device build (incl. its fence) must produce an empty class, matching
+    the host builder."""
+    from dgcnn_tpu.batching.multi_dense import (
+        build_multi_dense_on_device,
+    )
+
+    gs = _dd_like(n=10)
+    nc = gs.node_counts()
+    # bracket between min and max chosen so no graph lands in it
+    lo = int(nc.min())
+    tiles = (lo, lo + 1, int(nc.max()))
+    assert not ((nc > lo) & (nc <= lo + 1)).any()
+    classes, routing = build_multi_dense_on_device(gs, tiles)
+    host_classes, host_routing = build_multi_dense(gs, tiles)
+    assert classes[1].adj.shape[0] == 0
+    for dev_c, host_c in zip(classes, host_classes):
+        np.testing.assert_allclose(
+            np.asarray(dev_c.adj), host_c.adj, rtol=1e-6, atol=1e-7
+        )
+
+
 def test_route_order_rows_overflow():
     nc = np.array([10, 20, 30])
     tiles = plan_tiles(nc, min_tile=256)

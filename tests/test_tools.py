@@ -39,6 +39,9 @@ def test_release_report_renders(tmp_path):
 def test_tensorboard_export(tmp_path):
     """The JSONL→TensorBoard converter writes per-fold event files with the
     visdom-equivalent scalar series (SURVEY §5)."""
+    import pytest
+
+    pytest.importorskip("tensorboardX")
     from dgcnn_tpu.train.tensorboard import export_events
 
     ev = tmp_path / "MUTAG_events.jsonl"
