@@ -164,7 +164,7 @@ def _bench_coo(train, impl, epochs_per_dispatch=6):
     return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
 
 
-def _bench_multi(train, epochs_per_dispatch=4):
+def _bench_multi(train, epochs_per_dispatch=4, dtype="float32"):
     """Fused multi-tile dense training epochs (train/cv.py
     MultiDenseEngine — the default engine for heavy-tailed datasets),
     eval excluded is not possible here (the engine fuses its own minimal
@@ -176,7 +176,7 @@ def _bench_multi(train, epochs_per_dispatch=4):
     from dgcnn_tpu.models.dgcnn import DGCNN, init_params
     from dgcnn_tpu.train.cv import MultiDenseEngine
 
-    cfg = Config(data_type="DD", batch_size=50)
+    cfg = Config(data_type="DD", batch_size=50, compute_dtype=dtype)
     model = DGCNN(num_features=train.num_features, num_classes=train.num_classes)
     optimizer = optax.adam(1e-3)
     engine = MultiDenseEngine(cfg, train, model, optimizer)
@@ -264,6 +264,15 @@ def main():
     best, _times = _bench_multi(dd_train)
     sources["DD"] = dd_meta.source
     detail["DD_multi_dense"] = {
+        "epoch_ms": round(best * 1e3, 2),
+        "edges_per_s": round(dd_edges / best, 1),
+        "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
+    }
+    # same engine under bf16 compute (fp32 params/loss) — the documented
+    # --dtype bfloat16 option; adjacency traffic halves on the HBM-bound
+    # multi-tile path
+    best, _times = _bench_multi(dd_train, dtype="bfloat16")
+    detail["DD_multi_dense_bf16"] = {
         "epoch_ms": round(best * 1e3, 2),
         "edges_per_s": round(dd_edges / best, 1),
         "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),

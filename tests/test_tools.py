@@ -63,6 +63,22 @@ def test_tensorboard_export(tmp_path):
         assert files and files[0].stat().st_size > 0
 
 
+def test_diff_runs(tmp_path):
+    from tools import diff_runs
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    for d in (a, b):
+        (d / "X_results_1.csv").write_text("epoch,acc\n1,90\n")
+        # same metrics, different timestamps/walls -> still identical
+        (d / "X_events.jsonl").write_text(json.dumps(
+            {"kind": "epoch", "fold": 1, "epoch": 1, "train_loss": 0.5,
+             "ts": hash(str(d)) % 1000, "epoch_seconds": 0.1}) + "\n")
+    assert diff_runs.main([str(a), str(b)]) == 0
+    (b / "X_results_1.csv").write_text("epoch,acc\n1,91\n")
+    assert diff_runs.main([str(a), str(b)]) == 1
+
+
 def test_bench_scaling_mechanics():
     """bench_scaling runs end-to-end on a tiny virtual CPU mesh and emits
     well-formed efficiency JSON (subprocess: it must configure the
