@@ -289,6 +289,8 @@ def main():
             "achieved_gbps": round(r["achieved_gbps"], 2),
             "pct_of_sol": round(r["pct_of_sol"], 2),
         }
+        if "pct_of_mxu" in r:  # one-hot path: its roofline is the MXU
+            detail[f"spmm_{impl}"]["pct_of_mxu"] = round(r["pct_of_mxu"], 1)
 
     value = total_edges / total_time
     baseline = total_edges / base_time  # derived GTX-1070 edges/s

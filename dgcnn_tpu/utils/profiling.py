@@ -21,6 +21,9 @@ import numpy as np
 
 # TPU v5e (lite) peak HBM bandwidth, GB/s
 V5E_HBM_GBPS = 819.0
+# TPU v5e peak MXU throughput, bf16 TFLOP/s (XLA's default matmul
+# precision on TPU lowers fp32 operands to bf16 passes)
+V5E_MXU_BF16_TFLOPS = 197.0
 _LANES = 128
 
 
@@ -132,4 +135,30 @@ def spmm_microbench(
         "edges_per_s": num_edges / per_op,
         "achieved_gbps": bytes_moved / per_op / 1e9,
         "pct_of_sol": pct_of_sol(bytes_moved, per_op),
+        # the one-hot formulation's own roofline is the MXU, not HBM — it
+        # trades bandwidth for 4·N·F USEFUL FLOPs per edge (ops/spmm.py).
+        # Report useful-FLOP utilization (a lower bound: lane padding of
+        # the F-wide operand is not counted as work) when the op actually
+        # lowers to the one-hot matmuls; for the gather formulations the
+        # ratio is meaningless and omitted
+        **(
+            {
+                "mxu_tflops": (flops := 4.0 * num_nodes * num_features
+                               * num_edges) / per_op / 1e12,
+                "pct_of_mxu": flops / per_op / (V5E_MXU_BF16_TFLOPS * 1e12)
+                * 100.0,
+            }
+            if _is_onehot(impl, num_nodes, num_features, num_edges) else {}
+        ),
     }
+
+
+def _is_onehot(impl: str, num_nodes: int, num_features: int,
+               num_edges: int) -> bool:
+    from dgcnn_tpu.ops.spmm import _ONEHOT_MAX_NF, ONEHOT_EDGE_BLOCK
+
+    if num_edges % ONEHOT_EDGE_BLOCK:
+        return False
+    if impl == "onehot":
+        return True
+    return impl == "auto" and num_nodes * num_features <= _ONEHOT_MAX_NF
