@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from dgcnn_tpu.batching.dense import DenseGraphBatch
 from dgcnn_tpu.batching.packer import GraphBatch
-from dgcnn_tpu.ops.gcn import gcn_conv, gcn_degree, gcn_edge_weights
+from dgcnn_tpu.ops.gcn import gcn_conv, gcn_degree
 from dgcnn_tpu.ops.readout import conv1d_readout
 from dgcnn_tpu.ops.sort_pool import sort_pool, sort_pool_dense
 
@@ -195,8 +195,12 @@ def apply_coo(
     num_nodes = batch.x.shape[0]
     num_slots = batch.y.shape[0]
 
-    deg_hat = gcn_degree(batch.edge_dst, batch.edge_mask, num_nodes, edge_axis)
-    edge_w = gcn_edge_weights(batch.edge_src, batch.edge_dst, batch.edge_mask, deg_hat)
+    deg_hat = gcn_degree(
+        batch.edge_dst, batch.edge_mask, num_nodes, edge_axis, impl=spmm_impl
+    )
+    # symmetric norm as node-row scalings around the mask-weighted spmm
+    # (ops/gcn.py gcn_conv node_scale) — no per-edge weight lookups
+    dinv_sqrt = jax.lax.rsqrt(deg_hat)
 
     acts = {}
     dt = jnp.dtype(model.compute_dtype)
@@ -210,10 +214,11 @@ def apply_coo(
                 layer["b"],
                 batch.edge_src,
                 batch.edge_dst,
-                edge_w,
+                batch.edge_mask,
                 deg_hat,
                 impl=spmm_impl,
                 edge_axis=edge_axis,
+                node_scale=dinv_sqrt,
             )
         )
         # padded nodes: tanh(0 + b) ≠ 0 once biases train — mask them so

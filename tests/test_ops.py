@@ -158,6 +158,48 @@ def test_sort_pool_jit_and_grad():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_gather_bincount_onehot_match_references():
+    """The one-hot gather/bincount helpers (used by gcn_degree /
+    gcn_edge_weights under impl=auto — TPU scatter/gather is ~60
+    cycles/element) must equal jnp.take / segment_sum exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgcnn_tpu.ops.spmm import bincount_onehot, gather_onehot
+
+    rng = np.random.default_rng(0)
+    n, e = 300, 2048
+    ids = rng.integers(0, n, e).astype(np.int32)
+    vec = rng.normal(size=n).astype(np.float32)
+    w = rng.random(e).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(gather_onehot(jnp.array(vec), jnp.array(ids))),
+        vec[ids], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(bincount_onehot(jnp.array(ids), jnp.array(w), n)),
+        np.bincount(ids, weights=w, minlength=n).astype(np.float32),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_gcn_norm_onehot_impl_matches_xla():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgcnn_tpu.ops.gcn import gcn_degree, gcn_edge_weights
+
+    rng = np.random.default_rng(1)
+    n, e = 256, 1024
+    dst = jnp.array(np.sort(rng.integers(0, n, e)).astype(np.int32))
+    src = jnp.array(rng.integers(0, n, e).astype(np.int32))
+    mask = jnp.array((rng.random(e) > 0.1).astype(np.float32))
+    d_x = gcn_degree(dst, mask, n, impl="xla")
+    d_o = gcn_degree(dst, mask, n, impl="onehot")
+    np.testing.assert_allclose(np.asarray(d_o), np.asarray(d_x), rtol=1e-6)
+    w_x = gcn_edge_weights(src, dst, mask, d_x, impl="xla")
+    w_o = gcn_edge_weights(src, dst, mask, d_x, impl="onehot")
+    np.testing.assert_allclose(np.asarray(w_o), np.asarray(w_x), rtol=1e-6)
+
+
 def test_spmm_onehot_matches_xla_and_grads():
     """The one-hot MXU SpMM formulation == segment-sum SpMM, values and
     gradients (reduction order differs → allclose, not bitwise)."""
