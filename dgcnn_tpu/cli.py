@@ -9,6 +9,7 @@ and defaults (reference train.py:17-25) and adds the TPU-build knobs.
 from __future__ import annotations
 
 import argparse
+import os
 
 from dgcnn_tpu.config import DATASETS, Config
 from dgcnn_tpu.train.cv import run_cross_validation
@@ -54,6 +55,11 @@ def get_args(argv=None):
                         help="save an in-flight resume bundle every N epochs")
     parser.add_argument("--log_every", default=0, type=int,
                         help="print metrics every N epochs (0 = per-fold only)")
+    parser.add_argument("--out_root", default=None, type=str, metavar="DIR",
+                        help="write artifacts under DIR/statistics and "
+                             "DIR/epochs instead of ./statistics and "
+                             "./epochs (e.g. to byte-compare two runs "
+                             "with tools/diff_runs.py)")
     parser.add_argument("--tensorboard", default=None, type=str, metavar="DIR",
                         help="export per-fold metric curves as TensorBoard "
                              "event files into DIR at run end (the visdom "
@@ -90,6 +96,13 @@ def main(argv=None):
         checkpoint_every=opt.ckpt_every,
         log_every=opt.log_every,
         tensorboard_dir=opt.tensorboard,
+        **(
+            {
+                "epochs_dir": os.path.join(opt.out_root, "epochs"),
+                "statistics_dir": os.path.join(opt.out_root, "statistics"),
+            }
+            if opt.out_root else {}
+        ),
     )
     with ctx:
         return run_cross_validation(cfg, allow_synthetic=opt.synthetic)

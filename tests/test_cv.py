@@ -54,6 +54,25 @@ def test_cv_artifacts_and_aggregate(tmp_path):
     assert sum(1 for line in events.open() if '"epoch"' in line) == 9
 
 
+def test_cli_out_root_flag(tmp_path, monkeypatch):
+    """--out_root redirects both artifact dirs (so two runs can be
+    byte-compared with tools/diff_runs.py without cd tricks)."""
+    from dgcnn_tpu.cli import get_args
+
+    opt = get_args(["--data_type", "MUTAG", "--out_root", str(tmp_path / "r")])
+    assert opt.out_root == str(tmp_path / "r")
+    # mirror cli.main's Config assembly for the out_root fields
+    cfg = Config(
+        data_type="MUTAG", num_epochs=2, num_folds=2,
+        epochs_dir=os.path.join(opt.out_root, "epochs"),
+        statistics_dir=os.path.join(opt.out_root, "statistics"),
+    )
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=20, seed=5)
+    run_cross_validation(cfg, dataset=gs)
+    assert (tmp_path / "r" / "statistics" / "MUTAG_results_overall.csv").exists()
+    assert (tmp_path / "r" / "epochs" / "MUTAG_1.npz").exists()
+
+
 def test_cv_resume_skips_completed_folds(tmp_path, capsys):
     gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
     run_cross_validation(_cfg(tmp_path), dataset=gs)
