@@ -61,12 +61,14 @@ def _train_split(name):
     return gs.subset(perm[: int(gs.num_graphs * 0.9)]), meta
 
 
-def _bench_dense(train, epochs_per_dispatch=10):
+def _bench_dense(train, epochs_per_dispatch=25, dtype="float32"):
     """Time the framework-default path: device-resident dense dataset with
     on-device batch gather and FUSED multi-epoch dispatch (train/cv.py
     DenseEngine.run_epochs) — `epochs_per_dispatch` full training epochs
     (fresh shuffle each, so no dispatch is cacheable) per timed fetch;
-    reported value is per-epoch."""
+    reported value is per-epoch. The default fusion width matches what the
+    CV driver actually dispatches (Config.max_fused_epochs=25), so the
+    transport round-trip is amortized exactly as in a real training run."""
     import jax
     import optax
 
@@ -78,7 +80,11 @@ def _bench_dense(train, epochs_per_dispatch=10):
     from dgcnn_tpu.models.dgcnn import DGCNN, init_params
     from dgcnn_tpu.train.loop import make_dense_gather_run
 
-    model = DGCNN(num_features=train.num_features, num_classes=train.num_classes)
+    model = DGCNN(
+        num_features=train.num_features,
+        num_classes=train.num_classes,
+        compute_dtype=dtype,
+    )
     params = init_params(jax.random.PRNGKey(324), model)
     optimizer = optax.adam(1e-3)
     state = {"p": params, "s": optimizer.init(params), "k": jax.random.PRNGKey(0)}
@@ -247,6 +253,19 @@ def main():
         total_edges += edges
         total_time += best
         base_time += REFERENCE_EPOCH_SECONDS[name]
+
+    # headline datasets again under bf16 compute (fp32 params/loss — the
+    # documented --dtype bfloat16 option; stderr only): adjacency and
+    # activation HBM traffic halve and fp32 matmuls drop their multi-pass
+    # MXU decomposition
+    for name in ("NCI1", "COLLAB"):
+        edges = _epoch_edges(splits[name])
+        best, _times = _bench_dense(splits[name], dtype="bfloat16")
+        detail[f"{name}_bf16"] = {
+            "epoch_ms": round(best * 1e3, 2),
+            "edges_per_s": round(edges / best, 1),
+            "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
+        }
 
     # COO kernel comparison on NCI1 (stderr only)
     nci1_train = splits["NCI1"]
