@@ -1,0 +1,318 @@
+"""Block-sparse (BSR-style) device-resident layout — MXU compute that
+scales with graph STRUCTURE instead of tile padding.
+
+The dense layouts (batching/dense.py, batching/multi_dense.py) pay
+quadratic FLOPs in their tile size: COLLAB's single 496-node tile runs
+~45× the Σn² ideal (mean graph ~74 nodes), and D&D's geometric tiles plus
+per-class slot floors still run ~6× ideal. Capability-equivalent of the
+same torch-scatter aggregation (reference model.py:30-33), reformulated:
+
+  * each graph's GCN-normalized adjacency D̂^{-1/2}(A+I)D̂^{-1/2} is cut
+    into a grid of `bs×bs` (default 128, the MXU lane width) blocks and
+    only NONZERO blocks are stored, all graphs sharing one flat
+    `[P, bs, bs]` pool in HBM (banded/sparse large graphs store far fewer
+    than nb² blocks);
+  * a batch packs graphs onto a block-aligned node axis (graph g occupies
+    `nb_g` consecutive block-rows) and lists one WORK ITEM per stored
+    block: `(pool_id, batch block-row, batch block-col)`;
+  * one GCN propagation is a single batched MXU matmul over work items,
+      parts = pool[item_pool] @ h_blocks[item_col]          [W, bs, F]
+    followed by a destination-sorted block segment-sum over `item_row` —
+    the block-level analogue of the COO path's per-edge gather-scatter,
+    with ~bs² MXU-resident useful FLOPs per index lookup instead of ~1;
+  * batches are assembled INSIDE jit from a [slots] graph-id vector
+    (cumsum + searchsorted + row gathers — the device_coo.py pattern), so
+    an epoch ships only its int32 shuffle matrix.
+
+Per-batch FLOPs follow each graph's own nonzero block grid — for COLLAB
+~10× less dense compute than the single-tile layout, for D&D ~3× less
+than the multi-tile layout (and its 5.7k-node outlier drops ~20× where
+its adjacency is banded). Exact protocol: batches keep their membership;
+equality with the COO path is tested per logit (tests/test_block_sparse.py).
+
+Memory: `P·bs²·4` bytes for the pool + O(nodes·F) features — COLLAB
+~0.6 GB where its dense form needs 4.4 GB.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+import jax.tree_util as jtu
+
+from dgcnn_tpu.data.graphset import GraphSet
+
+BLOCK_SIZE = 128  # MXU lane width; fp32 native tile is (8, 128)
+
+
+@dataclasses.dataclass
+class BlockGraphSet:
+    """A whole GraphSet in block-sparse form (pytree; device arrays after
+    jax.device_put). Sentinels: pool row P is a zero block (padded work
+    items), x row N is a zero node, table row G is a zero-count graph.
+
+    pool:        [P+1, bs, bs] normalized adjacency blocks (+ zero block)
+    block_row:   [P+1]  graph-local block-row of each pool block
+    block_col:   [P+1]  graph-local block-col
+    block_start: [G+1]  first pool index of each graph (+ sentinel)
+    block_count: [G+1]  stored blocks per graph (+ 0)
+    nb:          [G+1]  block-rows per graph = ceil(n_g/bs) (+ 0)
+    x:           [N+bs, F] node features (+ bs zero sentinel rows)
+    node_start:  [G+1]  first x row of each graph (+ sentinel)
+    node_count:  [G+1]  nodes per graph (+ 0)
+    y:           [G+1]  labels (+ 0)
+    """
+
+    pool: np.ndarray
+    block_row: np.ndarray
+    block_col: np.ndarray
+    block_start: np.ndarray
+    block_count: np.ndarray
+    nb: np.ndarray
+    x: np.ndarray
+    node_start: np.ndarray
+    node_count: np.ndarray
+    y: np.ndarray
+
+
+jtu.register_pytree_node(
+    BlockGraphSet,
+    lambda d: (
+        tuple(getattr(d, f.name) for f in dataclasses.fields(BlockGraphSet)),
+        None,
+    ),
+    lambda aux, ch: BlockGraphSet(*ch),
+)
+
+
+@dataclasses.dataclass
+class BlockBatch:
+    """One assembled block-sparse batch (all shapes budget-static).
+
+    x:          [S, F]   packed node features, S = nb_budget·bs
+    item_pool:  [W]      pool index per work item (sentinel P when padded)
+    item_row:   [W]      batch block-row (destination); non-decreasing;
+                         nb_budget for padded items (dropped by the
+                         segment-sum capacity)
+    item_col:   [W]      batch block-col (source)
+    node_graph: [S]      graph slot per node (slots when padding)
+    node_mask:  [S]
+    y:          [slots]
+    graph_mask: [slots]
+    num_graphs: []
+    """
+
+    x: np.ndarray
+    item_pool: np.ndarray
+    item_row: np.ndarray
+    item_col: np.ndarray
+    node_graph: np.ndarray
+    node_mask: np.ndarray
+    y: np.ndarray
+    graph_mask: np.ndarray
+    num_graphs: np.ndarray
+
+
+jtu.register_pytree_node(
+    BlockBatch,
+    lambda b: (
+        tuple(getattr(b, f.name) for f in dataclasses.fields(BlockBatch)),
+        None,
+    ),
+    lambda aux, ch: BlockBatch(*ch),
+)
+
+
+def build_block_graphset(dataset: GraphSet, bs: int = BLOCK_SIZE) -> BlockGraphSet:
+    """Host-side one-time build: per graph, strip self-loops (reference
+    model.py:28), find the nonzero block grid of Â = A+I, materialize each
+    block with the symmetric normalization baked in (the dense-layout
+    convention: adj[dst, src], out = adj @ h), sorted by (row, col)."""
+    g = dataset.num_graphs
+    nc = dataset.node_counts()
+    nb = -(-nc // bs)  # ceil; 0-node graphs would give 0
+
+    pools, rows, cols, counts = [], [], [], np.zeros(g + 1, np.int32)
+    for i in range(g):
+        n = int(nc[i])
+        es, ee = dataset.edge_ptr[i], dataset.edge_ptr[i + 1]
+        s = dataset.edge_src[es:ee].astype(np.int64)
+        d = dataset.edge_dst[es:ee].astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+
+        # deg_hat = in-degree of stripped edges + 1 (the re-added self-loop)
+        deg = np.bincount(d, minlength=n).astype(np.float64) + 1.0
+        dinv = 1.0 / np.sqrt(deg)
+
+        # nonzero blocks: every (dst//bs, src//bs) with an edge + diagonal
+        nbi = int(nb[i])
+        bid = (d // bs) * nbi + (s // bs)
+        diag = np.arange(nbi, dtype=np.int64) * nbi + np.arange(nbi)
+        present = np.unique(np.concatenate([bid, diag]))
+        lut = np.full(nbi * nbi, -1, np.int64)
+        lut[present] = np.arange(len(present))
+
+        blocks = np.zeros((len(present), bs, bs), np.float32)
+        w = (dinv[d] * dinv[s]).astype(np.float32)
+        np.add.at(blocks, (lut[bid], d % bs, s % bs), w)
+        r_idx = np.arange(n, dtype=np.int64)
+        np.add.at(
+            blocks,
+            (lut[diag[r_idx // bs]], r_idx % bs, r_idx % bs),
+            (dinv * dinv).astype(np.float32),
+        )
+
+        pools.append(blocks)
+        rows.append((present // nbi).astype(np.int32))
+        cols.append((present % nbi).astype(np.int32))
+        counts[i] = len(present)
+
+    block_start = np.zeros(g + 1, np.int32)
+    np.cumsum(counts[:-1], out=block_start[1:])
+    pool = (
+        np.concatenate(pools + [np.zeros((1, bs, bs), np.float32)])
+        if g
+        else np.zeros((1, bs, bs), np.float32)
+    )
+    return BlockGraphSet(
+        pool=pool,
+        block_row=np.concatenate(rows + [np.zeros(1, np.int32)]),
+        block_col=np.concatenate(cols + [np.zeros(1, np.int32)]),
+        block_start=block_start,
+        block_count=counts,
+        nb=np.concatenate([nb.astype(np.int32), [0]]),
+        x=np.concatenate(
+            [
+                dataset.x.astype(np.float32),
+                # bs sentinel zero rows: batch assembly slices x at
+                # block-row granularity (a [bs, F] dynamic_slice per
+                # block-row), so a padded block-row slices [N, N+bs)
+                # without clamping into real rows
+                np.zeros((bs, dataset.num_features), np.float32),
+            ]
+        ),
+        node_start=dataset.node_ptr.astype(np.int32),
+        node_count=np.concatenate(
+            [np.diff(dataset.node_ptr).astype(np.int32), [0]]
+        ),
+        y=np.concatenate([dataset.y.astype(np.int32), [0]]),
+    )
+
+
+def block_graphset_bytes(dataset: GraphSet, bs: int = BLOCK_SIZE) -> int:
+    """Cheap host estimate of the device pool size (exact block grids need
+    the build; this upper-bounds with per-graph unique (dst//bs, src//bs)
+    pairs plus diagonals)."""
+    total = 0
+    nc = dataset.node_counts()
+    for i in range(dataset.num_graphs):
+        es, ee = dataset.edge_ptr[i], dataset.edge_ptr[i + 1]
+        nbi = -(-int(nc[i]) // bs)
+        bid = (dataset.edge_dst[es:ee].astype(np.int64) // bs) * nbi + (
+            dataset.edge_src[es:ee].astype(np.int64) // bs
+        )
+        diag = np.arange(nbi, dtype=np.int64) * (nbi + 1)
+        total += len(np.unique(np.concatenate([bid, diag])))
+    return total * bs * bs * 4 + dataset.total_nodes * dataset.num_features * 4
+
+
+def block_batch_extents(
+    nb: np.ndarray, block_count: np.ndarray, order_mat: np.ndarray
+) -> Tuple[int, int]:
+    """Max (Σ block-rows, Σ work items) over the batch rows of an order
+    matrix/tensor (last axis = graph slots, −1 padding) — the host-side
+    source of truth for budget sizing, like device_coo.batch_extents."""
+    rows = np.asarray(order_mat).reshape(-1, order_mat.shape[-1])
+    safe = np.maximum(rows, 0)
+    valid = rows >= 0
+    nbs = int((np.asarray(nb)[safe] * valid).sum(axis=1).max())
+    w = int((np.asarray(block_count)[safe] * valid).sum(axis=1).max())
+    return nbs, w
+
+
+def gather_block_batch(
+    dev: BlockGraphSet, idx_row, nb_budget: int, w_budget: int
+) -> BlockBatch:
+    """Assemble one BlockBatch on device from [slots] graph ids (−1 =
+    empty slot). Traced inside jit; every shape is budget-static.
+
+    Graph g of slot s occupies batch block-rows [Σ nb_before, +nb_g) and
+    node rows block-aligned under them; work items are the concatenation
+    of each slot's stored blocks with row/col rebased by the slot's
+    block-row offset. item_row is non-decreasing (blocks are (row, col)-
+    sorted per graph at build time), so the model's block segment-sum runs
+    the sorted fast path.
+
+    Everything is computed at BLOCK-ROW granularity ([nb_budget]-sized
+    index math + one [bs, F] dynamic_slice per block-row): graphs occupy
+    contiguous x rows, so per-NODE row gathers — ~60 cycles/element on
+    TPU, 0.8 ms/step measured on COLLAB's F=1 features — are never
+    needed. The tail rows of a graph's last block-row slice read into the
+    next graph's features; they are masked out of every layer output and
+    multiplied by the adjacency blocks' zero columns, so they contribute
+    exactly nothing (tests/test_block_sparse.py pins logit equality)."""
+    import jax
+    import jax.numpy as jnp
+
+    bs = dev.pool.shape[1]
+    slots = idx_row.shape[0]
+    num_graphs_total = dev.node_start.shape[0] - 1
+    sentinel_pool = dev.pool.shape[0] - 1
+    sentinel_x = dev.x.shape[0] - bs  # bs zero rows at the end
+
+    valid = idx_row >= 0
+    g = jnp.where(valid, idx_row, num_graphs_total)  # sentinel graph: 0 blocks
+
+    nbs = dev.nb[g]  # [slots]
+    bo = jnp.concatenate([jnp.zeros(1, nbs.dtype), jnp.cumsum(nbs)])  # [slots+1]
+
+    # --- nodes, per block-row: block-row q belongs to the slot whose
+    # cumulative block range contains q ---
+    q = jnp.arange(nb_budget, dtype=jnp.int32)
+    slot = jnp.searchsorted(bo[1:], q, side="right").astype(jnp.int32)
+    slot_c = jnp.minimum(slot, slots - 1)
+    q_ok = q < bo[slots]
+    row0 = (q - bo[slot_c]) * bs  # first in-graph node of the block-row
+    start = jnp.where(q_ok, dev.node_start[g[slot_c]] + row0, sentinel_x)
+    x = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(dev.x, s, bs, axis=0)
+    )(start).reshape(nb_budget * bs, -1)
+
+    lane = jnp.arange(bs, dtype=jnp.int32)
+    n_of = dev.node_count[g[slot_c]]  # [nb_budget]
+    node_ok = q_ok[:, None] & ((row0[:, None] + lane[None, :]) < n_of[:, None])
+    node_graph = jnp.where(node_ok, slot_c[:, None], slots).astype(jnp.int32)
+
+    # --- work items: same mapping over the block counts ---
+    wc = dev.block_count[g]
+    wo = jnp.concatenate([jnp.zeros(1, wc.dtype), jnp.cumsum(wc)])
+    wpos = jnp.arange(w_budget, dtype=jnp.int32)
+    wslot = jnp.searchsorted(wo[1:], wpos, side="right").astype(jnp.int32)
+    wslot_c = jnp.minimum(wslot, slots - 1)
+    j = wpos - wo[wslot_c]
+    w_ok = wpos < wo[slots]
+    pool_id = jnp.where(
+        w_ok, dev.block_start[g[wslot_c]] + j, sentinel_pool
+    ).astype(jnp.int32)
+    base = bo[wslot_c].astype(jnp.int32)
+    item_row = jnp.where(w_ok, base + dev.block_row[pool_id], nb_budget).astype(
+        jnp.int32
+    )
+    item_col = jnp.where(w_ok, base + dev.block_col[pool_id], 0).astype(jnp.int32)
+
+    y = jnp.where(valid, dev.y[g], 0).astype(jnp.int32)
+    return BlockBatch(
+        x=x,
+        item_pool=pool_id,
+        item_row=item_row,
+        item_col=item_col,
+        node_graph=node_graph.reshape(-1),
+        node_mask=node_ok.reshape(-1).astype(jnp.float32),
+        y=y,
+        graph_mask=valid.astype(jnp.float32),
+        num_graphs=valid.sum().astype(jnp.int32),
+    )

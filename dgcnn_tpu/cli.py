@@ -29,9 +29,10 @@ def get_args(argv=None):
     parser.add_argument("--fold_dir", default=None, type=str,
                         help="directory with {train,test}_idx-<k>.txt fold files")
     parser.add_argument("--layout", default="auto",
-                        choices=["auto", "coo", "dense", "multi"],
+                        choices=["auto", "coo", "dense", "multi", "block"],
                         help="batch layout: dense MXU adjacency blocks, "
-                             "size-bucketed multi-tile dense, or COO+SpMM")
+                             "size-bucketed multi-tile dense, block-sparse "
+                             "128x128 adjacency pool, or COO+SpMM")
     parser.add_argument("--mesh", default="1,1", type=str,
                         help="device mesh 'data,graph' (e.g. 4,2 = 4-way data "
                              "parallel x 2-way edge-partitioned)")

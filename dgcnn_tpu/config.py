@@ -70,8 +70,11 @@ class Config:
     # -- TPU-native knobs (no reference counterpart) --
     # Batch layout: "dense" = per-graph dense normalized adjacency, GCN
     # propagation as batched MXU matmuls (fastest for small-graph datasets);
-    # "coo" = packed edge lists + SpMM; "auto" picks dense when the largest
-    # graph and the stacked-epoch footprint allow it.
+    # "block" = block-sparse 128×128 adjacency pool, propagation as batched
+    # MXU matmuls over nonzero blocks (fastest when graphs are much smaller
+    # than the dataset max, or large and sparse); "coo" = packed edge lists
+    # + SpMM; "auto" picks dense when the largest graph and the
+    # stacked-epoch footprint allow it.
     layout: str = "auto"
     dense_max_nodes: int = 2048
     # smallest tile of the multi-tile dense ladder (batching/multi_dense.py)
@@ -144,7 +147,7 @@ class Config:
             )
         if self.spmm_impl not in ("auto", "xla", "onehot", "pallas"):
             raise ValueError(f"unknown spmm_impl {self.spmm_impl!r}")
-        if self.layout not in ("auto", "coo", "dense", "multi"):
+        if self.layout not in ("auto", "coo", "dense", "multi", "block"):
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")

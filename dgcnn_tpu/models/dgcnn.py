@@ -335,6 +335,67 @@ def apply_multi_dense(
     return log_probs, y, graph_mask
 
 
+def apply_block(
+    params: Params,
+    model: DGCNN,
+    batch,  # batching.block_sparse.BlockBatch
+    pool: jax.Array,  # [P+1, bs, bs] shared adjacency block pool
+    *,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    return_activations: bool = False,
+):
+    """Forward pass on the block-sparse layout (batching/block_sparse.py):
+    GCN propagation is one batched MXU matmul over nonzero-adjacency-block
+    work items plus a destination-sorted block segment-sum — per-batch
+    FLOPs follow each graph's own block grid instead of a dataset-wide
+    tile. Normalization (and the re-added self-loops of reference
+    model.py:28-33) is baked into the pool at build time, exactly like the
+    dense layouts. Semantically identical to `apply_coo`
+    (tests/test_block_sparse.py asserts logit equality)."""
+    import jax.ops
+
+    dt = jnp.dtype(model.compute_dtype)
+    bs = pool.shape[1]
+    s_nodes = batch.x.shape[0]
+    nb = s_nodes // bs
+    num_slots = batch.y.shape[0]
+
+    acts = {}
+    h = batch.x.astype(dt)
+    mask = batch.node_mask[:, None].astype(dt)
+    blocks = pool[batch.item_pool].astype(dt)  # [W, bs, bs]
+    layer_outs = []
+    for i, layer in enumerate(params["gcn"]):
+        hw = jnp.dot(h, layer["w"].astype(dt), preferred_element_type=jnp.float32)
+        hb = hw.astype(dt).reshape(nb, bs, -1)
+        parts = jnp.einsum(
+            "wij,wjf->wif", blocks, hb[batch.item_col],
+            preferred_element_type=jnp.float32,
+        )
+        agg = jax.ops.segment_sum(
+            parts,
+            batch.item_row,
+            num_segments=nb + 1,  # row nb collects padded items; dropped
+            indices_are_sorted=True,
+        )[:nb]
+        h = jnp.tanh(agg.reshape(s_nodes, -1) + layer["b"])
+        h = (h * mask).astype(dt)
+        layer_outs.append(h)
+        acts[f"gcn{i + 1}"] = h
+
+    cat = jnp.concatenate(layer_outs, axis=-1)
+    pooled = sort_pool(cat, batch.node_graph, num_slots, model.sort_pool_k)
+    acts["sort_pool"] = pooled
+
+    log_probs = _pooled_to_log_probs(
+        params, model, pooled, deterministic, dropout_rng, acts
+    )
+    if return_activations:
+        return log_probs, acts
+    return log_probs
+
+
 def apply(params: Params, model: DGCNN, batch, **kwargs):
     """Layout-polymorphic forward: dispatches on the batch type."""
     if isinstance(batch, DenseGraphBatch):

@@ -20,6 +20,7 @@ TPU-native differences (behavior-preserving at the protocol level):
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Optional, Tuple
@@ -307,6 +308,83 @@ class DeviceCooEngine(EngineBase):
         )
         bucket = self._bucket_for(order3d, self._test_order)
         params, opt_state, rng, rows = self._runner(bucket)(
+            params, opt_state, rng, self._dev, jax.device_put(order3d),
+            jax.device_put(self._test_order),
+        )
+        return params, opt_state, rng, np.asarray(
+            jax.device_get(rows), dtype=np.float64
+        )
+
+
+class BlockSparseEngine(EngineBase):
+    """Block-sparse engine (batching/block_sparse.py): the dataset lives
+    in HBM as a pool of nonzero 128×128 normalized-adjacency blocks;
+    batches are assembled on device from graph ids and GCN propagation is
+    a batched MXU matmul over block work items + a sorted block
+    segment-sum. Per-batch FLOPs follow each graph's own block grid —
+    neither the single-tile layout's max-graph² padding nor the
+    multi-tile layout's per-class slot floors. Same epoch-fusion and
+    [epochs, steps, slots] host-traffic contract as DeviceCooEngine;
+    budgets (block-rows, work items) grow only on a geometric grid so a
+    CV run compiles 1-2 programs."""
+
+    def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
+                 optimizer: optax.GradientTransformation):
+        from dgcnn_tpu.batching.block_sparse import build_block_graphset
+        from dgcnn_tpu.train.loop import make_block_run
+
+        self.cfg = cfg
+        self._model, self._optimizer = model, optimizer
+        self._make_run = make_block_run
+        self._slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
+        dev = build_block_graphset(dataset)
+        self._nb = dev.nb.astype(np.int64)
+        self._block_counts = dev.block_count.astype(np.int64)
+        if cfg.compute_dtype != "float32":
+            # store the block pool in the compute dtype: halves the
+            # dominant HBM stream (the per-item block reads)
+            import jax.numpy as jnp
+
+            dt = jnp.dtype(cfg.compute_dtype)
+            dev = dataclasses.replace(dev, pool=dev.pool.astype(dt))
+        self._dev = jax.device_put(dev)
+        self._runs = {}
+        self._floor_nb = 8
+        self._floor_w = 64
+
+    def _budget_for(self, *order_mats) -> tuple:
+        from dgcnn_tpu.batching.block_sparse import block_batch_extents
+
+        nb = w = 1
+        for m in order_mats:
+            bn, bw = block_batch_extents(self._nb, self._block_counts, m)
+            nb, w = max(nb, bn), max(w, bw)
+        self._floor_nb = max(self._floor_nb, DeviceCooEngine._geom_round(nb, 8))
+        self._floor_w = max(self._floor_w, DeviceCooEngine._geom_round(w, 64))
+        return self._floor_nb, self._floor_w
+
+    def _runner(self, budget):
+        if budget not in self._runs:
+            self._runs[budget] = self._make_run(
+                self._model, self._optimizer, *budget
+            )
+        return self._runs[budget]
+
+    def begin_fold(self, train_idx: np.ndarray, test_idx: np.ndarray) -> None:
+        self._train_idx = np.asarray(train_idx, dtype=np.int32)
+        self._test_order = order_matrix(
+            np.asarray(test_idx, np.int32), self.cfg.batch_size, self._slots
+        )
+
+    def run_epochs(self, params, opt_state, rng, perms: np.ndarray):
+        order3d = np.stack(
+            [
+                order_matrix(self._train_idx[p], self.cfg.batch_size, self._slots)
+                for p in perms
+            ]
+        )
+        budget = self._budget_for(order3d, self._test_order)
+        params, opt_state, rng, rows = self._runner(budget)(
             params, opt_state, rng, self._dev, jax.device_put(order3d),
             jax.device_put(self._test_order),
         )
@@ -675,10 +753,10 @@ class MeshDenseEngine(EngineBase):
 def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
                 optimizer: optax.GradientTransformation, layout: str):
     if cfg.mesh_shape != (1, 1):
-        if layout == "multi":
+        if layout in ("multi", "block"):
             raise ValueError(
-                "layout='multi' is single-chip only; use layout='dense' or "
-                "'coo' (or 'auto') with a mesh"
+                f"layout={layout!r} is single-chip only; use layout='dense' "
+                "or 'coo' (or 'auto') with a mesh"
             )
         if layout == "dense":
             cls = MeshDenseEngine
@@ -690,6 +768,8 @@ def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
         cls = DenseEngine
     elif layout == "multi":
         cls = MultiDenseEngine
+    elif layout == "block":
+        cls = BlockSparseEngine
     elif cfg.coo_assembly == "device":
         cls = DeviceCooEngine
     else:

@@ -288,6 +288,75 @@ def make_device_coo_run(
     return run
 
 
+def make_block_run(
+    model: DGCNN,
+    optimizer: optax.GradientTransformation,
+    nb_budget: int,
+    w_budget: int,
+) -> Callable:
+    """FUSED multi-epoch runner over a device-resident block-sparse
+    graphset (batching/block_sparse.py) — same contract as
+    `make_device_coo_run` (one [epochs, steps, slots] int32 tensor per
+    chunk), but GCN propagation runs as batched MXU matmuls over
+    nonzero-adjacency-block work items instead of per-edge gathers.
+
+        run(params, opt_state, rng, dev, order3d, test_order2d)
+            → (params, opt_state, rng, rows [k, 4])
+    """
+    from dgcnn_tpu.batching.block_sparse import gather_block_batch
+    from dgcnn_tpu.models.dgcnn import apply_block
+
+    def train_step(dev):
+        def step(carry, idx_row):
+            params, opt_state, rng = carry
+            rng, dropout_rng = jax.random.split(rng)
+            batch = gather_block_batch(dev, idx_row, nb_budget, w_budget)
+
+            def loss_fn(p):
+                lp = apply_block(
+                    p, model, batch, dev.pool, deterministic=False,
+                    dropout_rng=dropout_rng,
+                )
+                return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, correct)
+
+        return step
+
+    @jax.jit
+    def run(params, opt_state, rng, dev, order3d, test_order2d):
+        def epoch(carry, order2d):
+            carry, (losses, corrects) = jax.lax.scan(
+                train_step(dev), carry, order2d
+            )
+            params = carry[0]
+
+            def eval_body(c, idx_row):
+                batch = gather_block_batch(dev, idx_row, nb_budget, w_budget)
+                lp = apply_block(params, model, batch, dev.pool)
+                return c, nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+            _, (te_losses, te_corrects) = jax.lax.scan(
+                eval_body, None, test_order2d
+            )
+            row = jnp.stack(
+                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
+            )
+            return carry, row
+
+        (params, opt_state, rng), rows = jax.lax.scan(
+            epoch, (params, opt_state, rng), order3d
+        )
+        return params, opt_state, rng, rows
+
+    return run
+
+
 def make_eval_epoch(model: DGCNN, spmm_impl: str = "xla") -> Callable:
     """Returns jitted `(params, batches) → (mean_loss, correct)` — the
     equivalent of the reference `test()` (train.py:49-66): eval mode
