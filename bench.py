@@ -170,6 +170,56 @@ def _bench_coo(train, impl, epochs_per_dispatch=6):
     return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
 
 
+def _bench_block(train, epochs_per_dispatch=6, dtype="float32"):
+    """Fused block-sparse training epochs (train/cv.py BlockSparseEngine —
+    the auto-layout default for heavy-tailed datasets): nonzero 128×128
+    adjacency blocks, batched-MXU propagation, on-device assembly."""
+    import jax
+    import optax
+
+    from dgcnn_tpu.batching.dense import order_matrix
+    from dgcnn_tpu.config import Config
+    from dgcnn_tpu.models.dgcnn import DGCNN, init_params
+    from dgcnn_tpu.train.cv import BlockSparseEngine
+
+    cfg = Config(data_type="DD", batch_size=50, compute_dtype=dtype)
+    model = DGCNN(
+        num_features=train.num_features, num_classes=train.num_classes,
+        compute_dtype=dtype,
+    )
+    optimizer = optax.adam(1e-3)
+    engine = BlockSparseEngine(cfg, train, model, optimizer)
+    idx = np.arange(train.num_graphs)
+    engine.begin_fold(idx, idx[:1])
+    shuffle = np.random.default_rng(7)
+    perms = [
+        np.stack([shuffle.permutation(len(idx)) for _ in range(epochs_per_dispatch)])
+        for _ in range(7)
+    ]
+    # pre-grow the budgets over the timed permutations (no growth
+    # recompiles inside the timed region)
+    engine._budget_for(
+        *(
+            order_matrix(idx[p], 50, engine._slots)
+            for chunk in perms
+            for p in chunk
+        ),
+        engine._test_order,
+    )
+
+    params = init_params(jax.random.PRNGKey(324), model)
+    st = {"p": params, "s": optimizer.init(params), "k": jax.random.PRNGKey(0)}
+
+    def one_dispatch(r):
+        st["p"], st["s"], st["k"], rows = engine.run_epochs(
+            st["p"], st["s"], st["k"], perms[r + 1]
+        )
+        return rows[:, 0].sum()
+
+    best, times = _time_epochs(one_dispatch)
+    return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
+
+
 def _bench_multi(train, epochs_per_dispatch=4, dtype="float32"):
     """Fused multi-tile dense training epochs (train/cv.py
     MultiDenseEngine — the default engine for heavy-tailed datasets),
@@ -277,21 +327,27 @@ def main():
     }
 
     # DD — the heavy-tailed dataset that cannot go single-tile dense;
-    # runs the framework-default multi-tile dense engine (stderr only)
+    # runs the framework-default (auto) block-sparse engine, plus the
+    # multi-tile dense alternative for comparison (stderr only)
     dd_train, dd_meta = _train_split("DD")
     dd_edges = _epoch_edges(dd_train)
-    best, _times = _bench_multi(dd_train)
     sources["DD"] = dd_meta.source
-    detail["DD_multi_dense"] = {
+    best, _times = _bench_block(dd_train)
+    detail["DD_block"] = {
         "epoch_ms": round(best * 1e3, 2),
         "edges_per_s": round(dd_edges / best, 1),
         "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
     }
     # same engine under bf16 compute (fp32 params/loss) — the documented
-    # --dtype bfloat16 option; adjacency traffic halves on the HBM-bound
-    # multi-tile path
-    best, _times = _bench_multi(dd_train, dtype="bfloat16")
-    detail["DD_multi_dense_bf16"] = {
+    # --dtype bfloat16 option; pool traffic halves on the HBM-heavy path
+    best, _times = _bench_block(dd_train, dtype="bfloat16")
+    detail["DD_block_bf16"] = {
+        "epoch_ms": round(best * 1e3, 2),
+        "edges_per_s": round(dd_edges / best, 1),
+        "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
+    }
+    best, _times = _bench_multi(dd_train)
+    detail["DD_multi_dense"] = {
         "epoch_ms": round(best * 1e3, 2),
         "edges_per_s": round(dd_edges / best, 1),
         "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),

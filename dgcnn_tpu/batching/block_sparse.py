@@ -22,7 +22,14 @@ same torch-scatter aggregation (reference model.py:30-33), reformulated:
     with ~bs² MXU-resident useful FLOPs per index lookup instead of ~1;
   * batches are assembled INSIDE jit from a [slots] graph-id vector
     (cumsum + searchsorted + row gathers — the device_coo.py pattern), so
-    an epoch ships only its int32 shuffle matrix.
+    an epoch ships only its int32 shuffle matrix. Node features are
+    stored pre-reshaped into block-rows (`x_blocks [ΣNb, bs, F]`), so
+    batch assembly is a LEADING-AXIS block gather — per-node row gathers
+    (~60 cycles/element on TPU) never happen;
+  * the backward of the propagation runs the SAME sorted-segment kernel
+    over a col-major reordering of the item list (`item_permT`, baked at
+    build time), instead of XLA's unsorted scatter-add transpose — see
+    `models.dgcnn.block_propagate`.
 
 Per-batch FLOPs follow each graph's own nonzero block grid — for COLLAB
 ~10× less dense compute than the single-tile layout, for D&D ~3× less
@@ -31,7 +38,7 @@ its adjacency is banded). Exact protocol: batches keep their membership;
 equality with the COO path is tested per logit (tests/test_block_sparse.py).
 
 Memory: `P·bs²·4` bytes for the pool + O(nodes·F) features — COLLAB
-~0.6 GB where its dense form needs 4.4 GB.
+~0.5 GB where its dense form needs 4.4 GB.
 """
 
 from __future__ import annotations
@@ -52,16 +59,20 @@ BLOCK_SIZE = 128  # MXU lane width; fp32 native tile is (8, 128)
 class BlockGraphSet:
     """A whole GraphSet in block-sparse form (pytree; device arrays after
     jax.device_put). Sentinels: pool row P is a zero block (padded work
-    items), x row N is a zero node, table row G is a zero-count graph.
+    items), x_blocks row ΣNb is a zero block-row, table row G is a
+    zero-count graph.
 
     pool:        [P+1, bs, bs] normalized adjacency blocks (+ zero block)
     block_row:   [P+1]  graph-local block-row of each pool block
     block_col:   [P+1]  graph-local block-col
+    trperm:      [P+1]  within-graph col-major rank → row-major rank (the
+                        transposed traversal order for the backward pass)
     block_start: [G+1]  first pool index of each graph (+ sentinel)
     block_count: [G+1]  stored blocks per graph (+ 0)
     nb:          [G+1]  block-rows per graph = ceil(n_g/bs) (+ 0)
-    x:           [N+bs, F] node features (+ bs zero sentinel rows)
-    node_start:  [G+1]  first x row of each graph (+ sentinel)
+    x_blocks:    [ΣNb+1, bs, F] node features pre-reshaped into padded
+                        block-rows (+ zero sentinel block-row)
+    bofs:        [G+1]  first x_blocks row of each graph (+ total)
     node_count:  [G+1]  nodes per graph (+ 0)
     y:           [G+1]  labels (+ 0)
     """
@@ -69,11 +80,12 @@ class BlockGraphSet:
     pool: np.ndarray
     block_row: np.ndarray
     block_col: np.ndarray
+    trperm: np.ndarray
     block_start: np.ndarray
     block_count: np.ndarray
     nb: np.ndarray
-    x: np.ndarray
-    node_start: np.ndarray
+    x_blocks: np.ndarray
+    bofs: np.ndarray
     node_count: np.ndarray
     y: np.ndarray
 
@@ -97,7 +109,12 @@ class BlockBatch:
     item_row:   [W]      batch block-row (destination); non-decreasing;
                          nb_budget for padded items (dropped by the
                          segment-sum capacity)
-    item_col:   [W]      batch block-col (source)
+    item_col:   [W]      batch block-col (source; 0 for padded items —
+                         the sentinel zero block nullifies them)
+    item_permT: [W]      col-major traversal: item index of the w-th block
+                         in (slot, col, row) order (identity on padding)
+    item_colT:  [W]      batch block-col in that order — the backward's
+                         segment ids; non-decreasing; nb_budget on padding
     node_graph: [S]      graph slot per node (slots when padding)
     node_mask:  [S]
     y:          [slots]
@@ -109,6 +126,8 @@ class BlockBatch:
     item_pool: np.ndarray
     item_row: np.ndarray
     item_col: np.ndarray
+    item_permT: np.ndarray
+    item_colT: np.ndarray
     node_graph: np.ndarray
     node_mask: np.ndarray
     y: np.ndarray
@@ -132,10 +151,13 @@ def build_block_graphset(dataset: GraphSet, bs: int = BLOCK_SIZE) -> BlockGraphS
     block with the symmetric normalization baked in (the dense-layout
     convention: adj[dst, src], out = adj @ h), sorted by (row, col)."""
     g = dataset.num_graphs
+    f = dataset.num_features
     nc = dataset.node_counts()
     nb = -(-nc // bs)  # ceil; 0-node graphs would give 0
 
-    pools, rows, cols, counts = [], [], [], np.zeros(g + 1, np.int32)
+    pools, rows, cols, perms = [], [], [], []
+    counts = np.zeros(g + 1, np.int32)
+    xbs = []
     for i in range(g):
         n = int(nc[i])
         es, ee = dataset.edge_ptr[i], dataset.edge_ptr[i + 1]
@@ -166,36 +188,39 @@ def build_block_graphset(dataset: GraphSet, bs: int = BLOCK_SIZE) -> BlockGraphS
             (dinv * dinv).astype(np.float32),
         )
 
+        r_of = (present // nbi).astype(np.int32)
+        c_of = (present % nbi).astype(np.int32)
         pools.append(blocks)
-        rows.append((present // nbi).astype(np.int32))
-        cols.append((present % nbi).astype(np.int32))
+        rows.append(r_of)
+        cols.append(c_of)
+        # col-major traversal order of this graph's blocks (bwd pass)
+        perms.append(np.lexsort((r_of, c_of)).astype(np.int32))
         counts[i] = len(present)
+
+        xb = np.zeros((nbi * bs, f), np.float32)
+        xb[:n] = dataset.x[dataset.node_ptr[i] : dataset.node_ptr[i + 1]]
+        xbs.append(xb.reshape(nbi, bs, f))
 
     block_start = np.zeros(g + 1, np.int32)
     np.cumsum(counts[:-1], out=block_start[1:])
-    pool = (
-        np.concatenate(pools + [np.zeros((1, bs, bs), np.float32)])
-        if g
-        else np.zeros((1, bs, bs), np.float32)
-    )
+    bofs = np.zeros(g + 1, np.int32)
+    np.cumsum(nb, out=bofs[1:])
+    zb = np.zeros((1, bs, bs), np.float32)
+    zi = np.zeros(1, np.int32)
     return BlockGraphSet(
-        pool=pool,
-        block_row=np.concatenate(rows + [np.zeros(1, np.int32)]),
-        block_col=np.concatenate(cols + [np.zeros(1, np.int32)]),
+        pool=np.concatenate(pools + [zb]) if g else zb,
+        block_row=np.concatenate(rows + [zi]) if g else zi,
+        block_col=np.concatenate(cols + [zi]) if g else zi,
+        trperm=np.concatenate(perms + [zi]) if g else zi,
         block_start=block_start,
         block_count=counts,
         nb=np.concatenate([nb.astype(np.int32), [0]]),
-        x=np.concatenate(
-            [
-                dataset.x.astype(np.float32),
-                # bs sentinel zero rows: batch assembly slices x at
-                # block-row granularity (a [bs, F] dynamic_slice per
-                # block-row), so a padded block-row slices [N, N+bs)
-                # without clamping into real rows
-                np.zeros((bs, dataset.num_features), np.float32),
-            ]
+        x_blocks=(
+            np.concatenate(xbs + [np.zeros((1, bs, f), np.float32)])
+            if g
+            else np.zeros((1, bs, f), np.float32)
         ),
-        node_start=dataset.node_ptr.astype(np.int32),
+        bofs=bofs,
         node_count=np.concatenate(
             [np.diff(dataset.node_ptr).astype(np.int32), [0]]
         ),
@@ -217,7 +242,8 @@ def block_graphset_bytes(dataset: GraphSet, bs: int = BLOCK_SIZE) -> int:
         )
         diag = np.arange(nbi, dtype=np.int64) * (nbi + 1)
         total += len(np.unique(np.concatenate([bid, diag])))
-    return total * bs * bs * 4 + dataset.total_nodes * dataset.num_features * 4
+    nbsum = int((-(-nc // bs)).sum())
+    return (total * bs * bs + nbsum * bs * dataset.num_features) * 4
 
 
 def block_batch_extents(
@@ -245,24 +271,23 @@ def gather_block_batch(
     of each slot's stored blocks with row/col rebased by the slot's
     block-row offset. item_row is non-decreasing (blocks are (row, col)-
     sorted per graph at build time), so the model's block segment-sum runs
-    the sorted fast path.
+    the sorted fast path; item_permT/item_colT give the col-major
+    traversal whose segment ids are likewise non-decreasing — the
+    backward's sorted fast path.
 
-    Everything is computed at BLOCK-ROW granularity ([nb_budget]-sized
-    index math + one [bs, F] dynamic_slice per block-row): graphs occupy
-    contiguous x rows, so per-NODE row gathers — ~60 cycles/element on
-    TPU, 0.8 ms/step measured on COLLAB's F=1 features — are never
-    needed. The tail rows of a graph's last block-row slice read into the
-    next graph's features; they are masked out of every layer output and
-    multiplied by the adjacency blocks' zero columns, so they contribute
-    exactly nothing (tests/test_block_sparse.py pins logit equality)."""
-    import jax
+    Everything is computed at BLOCK granularity: [nb_budget]/[w_budget]
+    index math plus leading-axis block gathers from `x_blocks` and (in the
+    model) `pool`. Per-NODE row gathers — ~60 cycles/element on TPU,
+    0.8 ms/step measured on COLLAB's F=1 features — never happen. The
+    tail rows of a graph's last block-row are zero-padded at build time,
+    so padded node rows are exact zeros."""
     import jax.numpy as jnp
 
     bs = dev.pool.shape[1]
     slots = idx_row.shape[0]
-    num_graphs_total = dev.node_start.shape[0] - 1
+    num_graphs_total = dev.block_start.shape[0] - 1
     sentinel_pool = dev.pool.shape[0] - 1
-    sentinel_x = dev.x.shape[0] - bs  # bs zero rows at the end
+    sentinel_xb = dev.x_blocks.shape[0] - 1
 
     valid = idx_row >= 0
     g = jnp.where(valid, idx_row, num_graphs_total)  # sentinel graph: 0 blocks
@@ -276,15 +301,13 @@ def gather_block_batch(
     slot = jnp.searchsorted(bo[1:], q, side="right").astype(jnp.int32)
     slot_c = jnp.minimum(slot, slots - 1)
     q_ok = q < bo[slots]
-    row0 = (q - bo[slot_c]) * bs  # first in-graph node of the block-row
-    start = jnp.where(q_ok, dev.node_start[g[slot_c]] + row0, sentinel_x)
-    x = jax.vmap(
-        lambda s: jax.lax.dynamic_slice_in_dim(dev.x, s, bs, axis=0)
-    )(start).reshape(nb_budget * bs, -1)
+    qin = q - bo[slot_c]  # block-row index inside the graph
+    xb_row = jnp.where(q_ok, dev.bofs[g[slot_c]] + qin, sentinel_xb)
+    x = dev.x_blocks[xb_row].reshape(nb_budget * bs, -1)
 
     lane = jnp.arange(bs, dtype=jnp.int32)
     n_of = dev.node_count[g[slot_c]]  # [nb_budget]
-    node_ok = q_ok[:, None] & ((row0[:, None] + lane[None, :]) < n_of[:, None])
+    node_ok = q_ok[:, None] & ((qin[:, None] * bs + lane[None, :]) < n_of[:, None])
     node_graph = jnp.where(node_ok, slot_c[:, None], slots).astype(jnp.int32)
 
     # --- work items: same mapping over the block counts ---
@@ -295,8 +318,9 @@ def gather_block_batch(
     wslot_c = jnp.minimum(wslot, slots - 1)
     j = wpos - wo[wslot_c]
     w_ok = wpos < wo[slots]
+    gw = g[wslot_c]
     pool_id = jnp.where(
-        w_ok, dev.block_start[g[wslot_c]] + j, sentinel_pool
+        w_ok, dev.block_start[gw] + j, sentinel_pool
     ).astype(jnp.int32)
     base = bo[wslot_c].astype(jnp.int32)
     item_row = jnp.where(w_ok, base + dev.block_row[pool_id], nb_budget).astype(
@@ -304,12 +328,23 @@ def gather_block_batch(
     )
     item_col = jnp.where(w_ok, base + dev.block_col[pool_id], 0).astype(jnp.int32)
 
+    # col-major traversal: the w-th block in (slot, col, row) order is the
+    # batch item (wpos − j + trperm[j-th of graph]) — identity on padding
+    jt = dev.trperm[jnp.where(w_ok, dev.block_start[gw] + j, sentinel_pool)]
+    permT = jnp.where(w_ok, wpos - j + jt, wpos).astype(jnp.int32)
+    pool_idT = jnp.where(w_ok, dev.block_start[gw] + jt, sentinel_pool)
+    item_colT = jnp.where(
+        w_ok, base + dev.block_col[pool_idT], nb_budget
+    ).astype(jnp.int32)
+
     y = jnp.where(valid, dev.y[g], 0).astype(jnp.int32)
     return BlockBatch(
         x=x,
         item_pool=pool_id,
         item_row=item_row,
         item_col=item_col,
+        item_permT=permT,
+        item_colT=item_colT,
         node_graph=node_graph.reshape(-1),
         node_mask=node_ok.reshape(-1).astype(jnp.float32),
         y=y,

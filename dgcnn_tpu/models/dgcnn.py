@@ -335,6 +335,73 @@ def apply_multi_dense(
     return log_probs, y, graph_mask
 
 
+@jax.custom_vjp
+def block_propagate(
+    hb: jax.Array,  # [nb, bs, F] node features as block-rows
+    blocks: jax.Array,  # [W, bs, bs] gathered adjacency blocks
+    item_row: jax.Array,  # [W] destination block-row, non-decreasing
+    item_col: jax.Array,  # [W] source block-row
+    item_permT: jax.Array,  # [W] col-major traversal (see block_sparse.py)
+    item_colT: jax.Array,  # [W] its segment ids, non-decreasing
+) -> jax.Array:
+    """One block-sparse GCN aggregation: `out[r] = Σ_w B_w @ hb[c_w]`
+    over destination-sorted work items — a batched MXU matmul plus a
+    sorted block segment-sum (fp32 accumulation; returns fp32).
+
+    Custom VJP: the transpose of a sorted segment-sum is an unsorted
+    scatter-add under plain autodiff — the TPU slow path. Instead the
+    backward runs this SAME kernel over the col-major item traversal
+    (`d_hb[c] += B_wᵀ @ g[r]`, segment ids `item_colT` non-decreasing),
+    and the adjacency cotangent — never needed, the pool is constant —
+    is declared zero instead of being computed per item."""
+    nb = hb.shape[0]
+    parts = jnp.einsum(
+        "wij,wjf->wif", blocks, hb[item_col],
+        preferred_element_type=jnp.float32,
+    )
+    return jax.ops.segment_sum(
+        parts, item_row, num_segments=nb + 1, indices_are_sorted=True
+    )[:nb]
+
+
+def _block_propagate_fwd(hb, blocks, item_row, item_col, item_permT, item_colT):
+    out = block_propagate(hb, blocks, item_row, item_col, item_permT, item_colT)
+    # the empty stub only carries hb's dtype into the backward (a dtype
+    # object itself is not a valid JAX residual)
+    stub = jnp.zeros((0,), hb.dtype)
+    return out, (blocks, item_row, item_permT, item_colT, stub)
+
+
+def _block_propagate_bwd(res, g):
+    import numpy as np
+
+    blocks, item_row, item_permT, item_colT, stub = res
+    h_dtype = stub.dtype
+    nb, bs = g.shape[0], g.shape[1]
+    g_pad = jnp.concatenate([g, jnp.zeros((1, bs, g.shape[2]), g.dtype)])
+    rowsT = item_row[item_permT]  # padded items map to row nb → zero block
+    partsT = jnp.einsum(
+        "wij,wif->wjf", blocks[item_permT].astype(g.dtype), g_pad[rowsT],
+        preferred_element_type=jnp.float32,
+    )
+    d_hb = jax.ops.segment_sum(
+        partsT, item_colT, num_segments=nb + 1, indices_are_sorted=True
+    )[:nb]
+    f0 = jax.dtypes.float0
+    zi = lambda a: np.zeros(a.shape, dtype=f0)
+    return (
+        d_hb.astype(h_dtype),
+        jnp.zeros_like(blocks),  # unused (pool is constant) → DCE'd
+        zi(item_row),
+        zi(item_row),
+        zi(item_permT),
+        zi(item_colT),
+    )
+
+
+block_propagate.defvjp(_block_propagate_fwd, _block_propagate_bwd)
+
+
 def apply_block(
     params: Params,
     model: DGCNN,
@@ -353,8 +420,6 @@ def apply_block(
     model.py:28-33) is baked into the pool at build time, exactly like the
     dense layouts. Semantically identical to `apply_coo`
     (tests/test_block_sparse.py asserts logit equality)."""
-    import jax.ops
-
     dt = jnp.dtype(model.compute_dtype)
     bs = pool.shape[1]
     s_nodes = batch.x.shape[0]
@@ -369,16 +434,10 @@ def apply_block(
     for i, layer in enumerate(params["gcn"]):
         hw = jnp.dot(h, layer["w"].astype(dt), preferred_element_type=jnp.float32)
         hb = hw.astype(dt).reshape(nb, bs, -1)
-        parts = jnp.einsum(
-            "wij,wjf->wif", blocks, hb[batch.item_col],
-            preferred_element_type=jnp.float32,
+        agg = block_propagate(
+            hb, blocks, batch.item_row, batch.item_col,
+            batch.item_permT, batch.item_colT,
         )
-        agg = jax.ops.segment_sum(
-            parts,
-            batch.item_row,
-            num_segments=nb + 1,  # row nb collects padded items; dropped
-            indices_are_sorted=True,
-        )[:nb]
         h = jnp.tanh(agg.reshape(s_nodes, -1) + layer["b"])
         h = (h * mask).astype(dt)
         layer_outs.append(h)

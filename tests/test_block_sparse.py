@@ -108,6 +108,38 @@ def test_logits_match_coo_with_empty_slots():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_grads_match_coo_path():
+    """The custom VJP of block_propagate (col-major sorted traversal —
+    models/dgcnn.py) must reproduce plain autodiff: compare full loss
+    gradients against the COO path on the same batch and weights."""
+    gs, model, params, dev = _setup("DD", 8)
+    ng = 8
+    idx = np.arange(ng, dtype=np.int32)
+    coo = jax.device_put(pack_batch(gs, idx, compute_bucket(gs, ng)))
+    nbb, wb = block_batch_extents(
+        np.asarray(dev.nb), np.asarray(dev.block_count), idx[None, :]
+    )
+    bb = gather_block_batch(dev, jnp.asarray(idx), nbb, wb)
+    y = jnp.asarray(gs.y)
+
+    def loss_coo(p):
+        lp = apply_coo(p, model, coo)
+        return -(lp[jnp.arange(ng), y]).mean()
+
+    def loss_block(p):
+        lp = apply_block(p, model, bb, dev.pool)
+        return -(lp[jnp.arange(ng), y]).mean()
+
+    g_coo = jax.grad(loss_coo)(params)
+    g_blk = jax.grad(loss_block)(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_coo), jax.tree_util.tree_leaves(g_blk)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
+
+
 def test_grads_flow_and_bf16():
     gs, model, params, dev = _setup("COLLAB", 10)
     idx = jnp.arange(10, dtype=jnp.int32)

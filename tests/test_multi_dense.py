@@ -133,10 +133,13 @@ def test_multi_engine_matches_device_coo_engine():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-5)
 
 
-def test_auto_layout_picks_multi_for_heavy_tail():
+def test_auto_layout_picks_block_for_heavy_tail():
     gs = synthesize_tu_dataset("DD", num_graphs=60, seed=1)
     cfg = Config(data_type="DD")
-    assert choose_layout(cfg, gs) == "multi"
+    # heavy-tailed datasets route to the block-sparse engine (2.1× the
+    # multi-tile engine's fp32 epoch time on D&D); multi stays explicit
+    assert choose_layout(cfg, gs) == "block"
+    assert choose_layout(Config(data_type="DD", layout="multi"), gs) == "multi"
     assert multi_dense_bytes(gs, plan_tiles(gs.node_counts(), 256)) > 0
 
 
