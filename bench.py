@@ -271,19 +271,17 @@ def _epoch_edges(train):
 
 
 def main():
-    # persistent XLA compile cache (same as the training driver) — repeat
-    # bench runs skip the fused-program compiles
-    import os
+    # --full adds the comparison rows (bf16 dense, COO, multi-dense dtype
+    # matrix) — several extra one-time program compiles (~1-2 min each
+    # through this transport), so the default run stays within the
+    # driver's bench budget and times only the framework-default paths.
+    full = "--full" in sys.argv
 
-    import jax
-
-    try:
-        cache = os.path.expanduser("~/.cache/dgcnn_tpu/xla")
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # NOTE: the persistent XLA compile cache is deliberately NOT enabled
+    # here — on the remote-attached TPU it adds ~11 minutes of one-time
+    # per-process overhead to the first lowering and never avoids a
+    # recompile (executable load pays a full compile through the
+    # transport). See Config.xla_cache_dir.
 
     detail, sources = {}, {}
     total_edges = total_time = base_time = 0.0
@@ -304,27 +302,28 @@ def main():
         total_time += best
         base_time += REFERENCE_EPOCH_SECONDS[name]
 
-    # headline datasets again under bf16 compute (fp32 params/loss — the
-    # documented --dtype bfloat16 option; stderr only): adjacency and
-    # activation HBM traffic halve and fp32 matmuls drop their multi-pass
-    # MXU decomposition
-    for name in ("NCI1", "COLLAB"):
-        edges = _epoch_edges(splits[name])
-        best, _times = _bench_dense(splits[name], dtype="bfloat16")
-        detail[f"{name}_bf16"] = {
-            "epoch_ms": round(best * 1e3, 2),
-            "edges_per_s": round(edges / best, 1),
-            "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
-        }
+    if full:
+        # headline datasets again under bf16 compute (fp32 params/loss —
+        # the documented --dtype bfloat16 option; stderr only): adjacency
+        # and activation HBM traffic halve and fp32 matmuls drop their
+        # multi-pass MXU decomposition
+        for name in ("NCI1", "COLLAB"):
+            edges = _epoch_edges(splits[name])
+            best, _times = _bench_dense(splits[name], dtype="bfloat16")
+            detail[f"{name}_bf16"] = {
+                "epoch_ms": round(best * 1e3, 2),
+                "edges_per_s": round(edges / best, 1),
+                "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
+            }
 
-    # COO kernel comparison on NCI1 (stderr only)
-    nci1_train = splits["NCI1"]
-    nci1_edges = _epoch_edges(nci1_train)
-    best, _times = _bench_coo(nci1_train, "auto")
-    detail["NCI1_coo_auto"] = {
-        "epoch_ms": round(best * 1e3, 2),
-        "edges_per_s": round(nci1_edges / best, 1),
-    }
+        # COO kernel comparison on NCI1 (stderr only)
+        nci1_train = splits["NCI1"]
+        nci1_edges = _epoch_edges(nci1_train)
+        best, _times = _bench_coo(nci1_train, "auto")
+        detail["NCI1_coo_auto"] = {
+            "epoch_ms": round(best * 1e3, 2),
+            "edges_per_s": round(nci1_edges / best, 1),
+        }
 
     # DD — the heavy-tailed dataset that cannot go single-tile dense;
     # runs the framework-default (auto) block-sparse engine, plus the
@@ -338,20 +337,22 @@ def main():
         "edges_per_s": round(dd_edges / best, 1),
         "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
     }
-    # same engine under bf16 compute (fp32 params/loss) — the documented
-    # --dtype bfloat16 option; pool traffic halves on the HBM-heavy path
-    best, _times = _bench_block(dd_train, dtype="bfloat16")
-    detail["DD_block_bf16"] = {
-        "epoch_ms": round(best * 1e3, 2),
-        "edges_per_s": round(dd_edges / best, 1),
-        "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
-    }
-    best, _times = _bench_multi(dd_train)
-    detail["DD_multi_dense"] = {
-        "epoch_ms": round(best * 1e3, 2),
-        "edges_per_s": round(dd_edges / best, 1),
-        "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
-    }
+    if full:
+        # same engine under bf16 compute (fp32 params/loss) — the
+        # documented --dtype bfloat16 option; pool traffic halves on the
+        # HBM-heavy path
+        best, _times = _bench_block(dd_train, dtype="bfloat16")
+        detail["DD_block_bf16"] = {
+            "epoch_ms": round(best * 1e3, 2),
+            "edges_per_s": round(dd_edges / best, 1),
+            "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
+        }
+        best, _times = _bench_multi(dd_train)
+        detail["DD_multi_dense"] = {
+            "epoch_ms": round(best * 1e3, 2),
+            "edges_per_s": round(dd_edges / best, 1),
+            "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
+        }
 
     # isolated SpMM %-of-SoL on NCI1 mega-batch shapes (BASELINE metric)
     from dgcnn_tpu.utils.profiling import spmm_microbench

@@ -123,10 +123,14 @@ class Config:
     # Device mesh: (data, graph) axis sizes. (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)
 
-    # Persistent XLA compilation cache directory ("" = disabled). Fused
-    # epoch programs take 30-120 s to compile; with the cache, repeat runs
-    # of the same dataset/shape skip compilation entirely.
-    xla_cache_dir: str = "~/.cache/dgcnn_tpu/xla"
+    # Persistent XLA compilation cache directory ("" = disabled — the
+    # default). On the remote-attached TPU platform this cache is a pure
+    # loss: enabling it adds a measured ~11 MINUTES of one-time
+    # per-process overhead to the first program lowering, and cache
+    # "hits" still pay a full compile on executable load through the
+    # transport. Opt in only on hardware where jax's persistent cache is
+    # known to work.
+    xla_cache_dir: str = ""
 
     # -- artifacts (reference train.py:129-131, 144-145) --
     epochs_dir: str = "epochs"
