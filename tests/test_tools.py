@@ -79,6 +79,21 @@ def test_diff_runs(tmp_path):
     assert diff_runs.main([str(a), str(b)]) == 1
 
 
+def test_release_validation_dtype_flag(tmp_path):
+    """--dtype bfloat16 threads through to the CV run and the summary
+    records the completed protocol (2-epoch MUTAG smoke on CPU)."""
+    from tools import release_validation
+
+    release_validation.main([
+        "MUTAG", "--out_root", str(tmp_path), "--num_epochs", "2",
+        "--dtype", "bfloat16",
+    ])
+    lines = (tmp_path / "summary.jsonl").read_text().splitlines()
+    row = json.loads(lines[-1])
+    assert row["dataset"] == "MUTAG"
+    assert np.isfinite(row["test_acc_mean"])
+
+
 def test_bench_scaling_mechanics():
     """bench_scaling runs end-to-end on a tiny virtual CPU mesh and emits
     well-formed efficiency JSON (subprocess: it must configure the

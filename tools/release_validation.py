@@ -32,6 +32,10 @@ def main(argv=None):
                    help="skip completed folds from a previous run (forces "
                         "the sequential driver — fold-lockstep can't "
                         "resume per fold)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype (bfloat16 = the documented mixed-"
+                        "precision fast path; fp32 params/loss)")
     args = p.parse_args(argv)
 
     from dgcnn_tpu.config import Config
@@ -47,12 +51,14 @@ def main(argv=None):
             epochs_dir=os.path.join(args.out_root, "epochs"),
             statistics_dir=os.path.join(args.out_root, "statistics"),
             checkpoint_resume=args.resume,
+            compute_dtype=args.dtype,
         )
         r = run_cross_validation(cfg, allow_synthetic=True)
         wall = time.perf_counter() - t0
         with open(os.path.join(args.out_root, "summary.jsonl"), "a") as f:
             f.write(json.dumps({
                 "dataset": ds,
+                "dtype": args.dtype,
                 "wall_s": round(wall, 1),
                 "test_acc_mean": r["test_accuracy_mean"],
                 "test_acc_std": r["test_accuracy_std"],
