@@ -74,8 +74,10 @@ def main(root: str) -> None:
             print(f"| {ds} | — | {ref_epoch:.2f} s | — | — | — | {ref_acc} |")
             continue
         ep = median_epoch_seconds(os.path.join(root, "statistics", f"{ds}_events.jsonl"))
+        # bf16 validation runs (release_validation --dtype) tag their rows
+        tag = "" if s.get("dtype", "float32") == "float32" else f" ({s['dtype']})"
         print(
-            f"| {ds} | {ep * 1e3:.1f} ms | {ref_epoch:.2f} s | "
+            f"| {ds}{tag} | {ep * 1e3:.1f} ms | {ref_epoch:.2f} s | "
             f"**{ref_epoch / ep:,.0f}×** | {s['wall_s']:.0f} s | "
             f"{s['test_acc_mean']:.2f}±{s['test_acc_std']:.2f}% | {ref_acc} |"
         )
