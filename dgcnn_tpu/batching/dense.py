@@ -178,9 +178,14 @@ def build_dense_dataset(dataset: GraphSet, n_tile: int) -> DenseDataset:
     )
 
 
-def build_dense_dataset_on_device(dataset: GraphSet, n_tile: int) -> DenseDataset:
+def build_dense_dataset_on_device(
+    dataset: GraphSet, n_tile: int, adj_dtype=None
+) -> DenseDataset:
     """Device-resident dense materialization: transfer the compact COO
-    graphset, densify in HBM (batching/device_coo.py densify_on_device)."""
+    graphset, densify in HBM (batching/device_coo.py densify_on_device).
+    `adj_dtype` (Config.adj_dtype, resolved) is the adjacency STORAGE
+    dtype — bf16 halves the dominant HBM array at zero MXU-precision cost
+    (see config.py)."""
     import jax
 
     from dgcnn_tpu.batching.device_coo import (
@@ -189,7 +194,7 @@ def build_dense_dataset_on_device(dataset: GraphSet, n_tile: int) -> DenseDatase
     )
 
     dev = jax.device_put(build_device_graphset(dataset))
-    return densify_on_device(dev, n_tile)
+    return densify_on_device(dev, n_tile, adj_dtype=adj_dtype)
 
 
 def dense_dataset_bytes(dataset: GraphSet, n_tile: int) -> int:

@@ -142,7 +142,7 @@ def assert_bucket_fits(
         )
 
 
-def densify_on_device(dev: DeviceGraphSet, n_tile: int):
+def densify_on_device(dev: DeviceGraphSet, n_tile: int, adj_dtype=None):
     """Build a DenseDataset (batching/dense.py layout: per-graph GCN-
     normalized adjacency + features at one tile) ON DEVICE from the
     compact COO graphset.
@@ -154,7 +154,7 @@ def densify_on_device(dev: DeviceGraphSet, n_tile: int):
     ONE scatter over the flat edge stream plus a degree normalize.
     Numerically identical to the host builder (tests/test_device_coo.py).
     """
-    return densify_many_on_device([dev], [n_tile])[0]
+    return densify_many_on_device([dev], [n_tile], adj_dtype=adj_dtype)[0]
 
 
 def _fence_build(adj) -> None:
@@ -170,20 +170,23 @@ def _fence_build(adj) -> None:
         jax.device_get(adj[0, :1, :1])
 
 
-def _densify_jits(num_graphs: int, n_tile: int):
+def _densify_jits(num_graphs: int, n_tile: int, adj_dtype=None):
     """The two jitted densify programs for a (num_graphs, n_tile) class.
+    `adj_dtype` (default fp32) is the STORAGE dtype of the normalized
+    adjacency (Config.adj_dtype): degree math always runs fp32, the
+    normalize program stores its output rounded.
 
     TWO programs, not one: fusing the edge scatter with the chunked
     normalize makes XLA pick a catastrophically slow schedule for the
     combined program (measured 154 s executing — and minutes compiling —
     for COLLAB's 26.7M-edge, 4.9 GB adjacency; the same math split in two
-    runs in seconds). The normalize donates the adjacency so peak HBM
-    stays ~1× either way.
+    runs in seconds). The fp32 normalize donates the adjacency so peak HBM
+    stays ~1×; a rounding normalize peaks at 1.5× (fp32 in + rounded out).
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
+
+    out_dt = jnp.dtype(adj_dtype if adj_dtype is not None else "float32")
 
     @jax.jit
     def build_raw(dev):
@@ -209,27 +212,33 @@ def _densify_jits(num_graphs: int, n_tile: int):
         adj = adj.at[:, diag, diag].add(node_mask)
         return x, node_mask, adj
 
-    @functools.partial(jax.jit, donate_argnums=0)
     def normalize(adj):
         # symmetric normalization, in graph chunks through
         # dynamic_update_slice so peak HBM stays ~1× the adjacency (a
         # whole-array `adj * dinv * dinv` would hold input and output
-        # simultaneously — 2× at the layout gate's budget edge)
+        # simultaneously — 2× at the layout gate's budget edge); degree
+        # math is always fp32, only the store is rounded to `out_dt`
         deg = adj.sum(axis=2)
         dinv = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+        out = adj if out_dt == adj.dtype else jnp.zeros(adj.shape, out_dt)
         chunk = max(1, (256 << 20) // max(n_tile * n_tile * 4, 1))
         for i0 in range(0, num_graphs, chunk):
             i1 = min(num_graphs, i0 + chunk)
             blk = jax.lax.dynamic_slice_in_dim(adj, i0, i1 - i0, axis=0)
             dblk = jax.lax.dynamic_slice_in_dim(dinv, i0, i1 - i0, axis=0)
-            blk = blk * dblk[:, :, None] * dblk[:, None, :]
-            adj = jax.lax.dynamic_update_slice_in_dim(adj, blk, i0, axis=0)
-        return adj
+            blk = (blk * dblk[:, :, None] * dblk[:, None, :]).astype(out_dt)
+            out = jax.lax.dynamic_update_slice_in_dim(out, blk, i0, axis=0)
+        return out
 
+    # donate only when input can alias output (same dtype) — a dtype-
+    # changing donation just triggers the unusable-donation warning
+    normalize = jax.jit(
+        normalize, donate_argnums=(0,) if out_dt == jnp.float32 else ()
+    )
     return build_raw, normalize
 
 
-def densify_many_on_device(devs, tiles):
+def densify_many_on_device(devs, tiles, adj_dtype=None):
     """Densify several (DeviceGraphSet, tile) classes, COMPILING all their
     programs concurrently first, then executing sequentially (fenced).
 
@@ -248,7 +257,7 @@ def densify_many_on_device(devs, tiles):
 
     def compile_class(dev, n_tile):
         g = int(dev.node_start.shape[0] - 1)
-        build_raw, normalize = _densify_jits(g, n_tile)
+        build_raw, normalize = _densify_jits(g, n_tile, adj_dtype)
         adj_shape = jax.ShapeDtypeStruct((g, n_tile, n_tile), jnp.float32)
         return (
             build_raw.lower(dev).compile(),

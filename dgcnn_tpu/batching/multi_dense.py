@@ -88,7 +88,7 @@ def build_multi_dense(
 
 
 def build_multi_dense_on_device(
-    dataset: GraphSet, tiles: Sequence[int]
+    dataset: GraphSet, tiles: Sequence[int], adj_dtype=None
 ) -> Tuple[Tuple[DenseDataset, ...], MultiDenseRouting]:
     """Device-side materialization: per class, ship the compact COO
     subset and densify in HBM (batching/device_coo.py densify_on_device)
@@ -107,7 +107,9 @@ def build_multi_dense_on_device(
         ))
         for c in range(len(routing.tiles))
     ]
-    classes = densify_many_on_device(devs, [int(t) for t in routing.tiles])
+    classes = densify_many_on_device(
+        devs, [int(t) for t in routing.tiles], adj_dtype=adj_dtype
+    )
     return tuple(classes), routing
 
 

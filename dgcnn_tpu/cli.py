@@ -47,6 +47,11 @@ def get_args(argv=None):
                         choices=["float32", "bfloat16"],
                         help="compute dtype for matmuls/convs (fp32 "
                              "accumulation; params and loss stay fp32)")
+    parser.add_argument("--adj_dtype", default="float32",
+                        choices=["auto", "float32", "bfloat16"],
+                        help="STORAGE dtype of device-resident dense "
+                             "adjacencies (bf16 halves their HBM traffic; "
+                             "auto = bf16 on TPU — see config.py)")
     parser.add_argument("--synthetic", action="store_true",
                         help="allow fallback to synthetic profile data when the "
                              "real dataset is unavailable offline")
@@ -92,6 +97,7 @@ def main(argv=None):
         mesh_shape=tuple(int(v) for v in opt.mesh.split(",")),
         spmm_impl=opt.spmm,
         compute_dtype=opt.dtype,
+        adj_dtype=opt.adj_dtype,
         sort_pool_percentile=opt.sortpool_percentile,
         checkpoint_resume=opt.resume,
         checkpoint_every=opt.ckpt_every,

@@ -92,6 +92,16 @@ class Config:
     graph_pad_multiple: int = 8
     # Compute dtype for the network ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
+    # Storage dtype of device-resident normalized adjacencies (dense /
+    # multi-tile layouts). The TPU MXU's DEFAULT matmul precision already
+    # rounds fp32 operands to bfloat16 before multiplying, so storing the
+    # adjacency pre-rounded halves its HBM traffic without changing what
+    # the MXU computes; "auto" = bfloat16 on TPU, float32 elsewhere (CPU
+    # matmuls really consume fp32). Adjacency VALUES are built in fp32
+    # (degree math) and only stored rounded. Default float32 until the
+    # on-chip bitwise-equality probe (probe_adj_bf16.py) validates the
+    # default-precision rounding claim on this TPU generation.
+    adj_dtype: str = "float32"
     # Cross-validation execution: "folds" trains all K folds in LOCKSTEP
     # via vmap over a fold axis (near-K× throughput on small datasets —
     # per-fold protocol and metrics are unchanged, see train/cv_vmap.py);
@@ -144,6 +154,18 @@ class Config:
     # directory at run end (None = skip; see train/tensorboard.py)
     tensorboard_dir: Optional[str] = None
 
+    def resolved_adj_dtype(self) -> str:
+        """Concrete adjacency storage dtype ("auto" → backend-dependent:
+        bfloat16 where the MXU's DEFAULT-precision operand rounding makes
+        it free, float32 on CPU where matmuls consume full fp32)."""
+        if self.adj_dtype != "auto":
+            return self.adj_dtype
+        import jax
+
+        d = jax.devices()[0]
+        on_tpu = "tpu" in d.platform.lower() or "tpu" in d.device_kind.lower()
+        return "bfloat16" if on_tpu else "float32"
+
     def __post_init__(self):
         if self.data_type not in DATASETS:
             raise ValueError(
@@ -155,6 +177,8 @@ class Config:
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
+        if self.adj_dtype not in ("auto", "float32", "bfloat16"):
+            raise ValueError(f"unknown adj_dtype {self.adj_dtype!r}")
         if self.coo_assembly not in ("device", "host"):
             raise ValueError(f"unknown coo_assembly {self.coo_assembly!r}")
         if self.cv_parallel not in ("auto", "folds", "sequential"):

@@ -250,7 +250,17 @@ def _dense_trunk(
     dense paths."""
     dt = jnp.dtype(model.compute_dtype)
     h = batch.x.astype(dt)
-    adj = batch.adj.astype(dt)
+    # Propagation dtype: never UPcast a bf16-stored adjacency
+    # (Config.adj_dtype) — the MXU's DEFAULT-precision fp32 matmul rounds
+    # its operands to bf16 anyway, so feeding the dot bf16 operands with an
+    # fp32 accumulator computes the same thing while halving adjacency HBM
+    # reads; an astype(f32) here would materialize the fp32 copy instead.
+    prop_dt = (
+        jnp.bfloat16
+        if (batch.adj.dtype == jnp.bfloat16 or dt == jnp.bfloat16)
+        else dt
+    )
+    adj = batch.adj.astype(prop_dt)
     mask = batch.node_mask[..., None].astype(dt)
     layer_outs = []
     for i, layer in enumerate(params["gcn"]):
@@ -260,7 +270,7 @@ def _dense_trunk(
         )
         h = jnp.tanh(
             jnp.einsum(
-                "bij,bjf->bif", adj, hw.astype(dt),
+                "bij,bjf->bif", adj, hw.astype(prop_dt),
                 preferred_element_type=jnp.float32,
             )
             + layer["b"]

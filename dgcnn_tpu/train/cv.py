@@ -409,7 +409,9 @@ class DenseEngine(EngineBase):
         self.cfg = cfg
         n_tile = dense_tile(dataset)
         self._slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
-        self._data = build_dense_dataset_on_device(dataset, n_tile)
+        self._data = build_dense_dataset_on_device(
+            dataset, n_tile, adj_dtype=cfg.resolved_adj_dtype()
+        )
         if cfg.compute_dtype != "float32":
             # store the device-resident dataset in the compute dtype: halves
             # both the HBM footprint and the per-batch gather traffic (adj
@@ -475,7 +477,9 @@ class MultiDenseEngine(EngineBase):
         self._counts_fn = class_batch_counts
         self._route = route_order_rows
         tiles = plan_tiles(dataset.node_counts(), cfg.multi_dense_min_tile)
-        classes, self._routing = build_multi_dense_on_device(dataset, tiles)
+        classes, self._routing = build_multi_dense_on_device(
+            dataset, tiles, adj_dtype=cfg.resolved_adj_dtype()
+        )
         if cfg.compute_dtype != "float32":
             import jax.numpy as jnp
 
@@ -713,7 +717,9 @@ class MeshDenseEngine(EngineBase):
         # broadcast-replicate across the mesh (device-to-device over ICI
         # beats shipping O(G·n_tile²) from the host)
         self._data = jax.device_put(
-            build_dense_dataset_on_device(dataset, n_tile),
+            build_dense_dataset_on_device(
+                dataset, n_tile, adj_dtype=cfg.resolved_adj_dtype()
+            ),
             NamedSharding(self.mesh, P()),
         )
         self._order_sharding = NamedSharding(self.mesh, P(None, "data"))

@@ -176,7 +176,9 @@ def run_cv_folds_vmap(
     n_tile = dense_tile(dataset)
     slots = ((cfg.batch_size + cfg.graph_pad_multiple - 1)
              // cfg.graph_pad_multiple) * cfg.graph_pad_multiple
-    data = build_dense_dataset_on_device(dataset, n_tile)
+    data = build_dense_dataset_on_device(
+        dataset, n_tile, adj_dtype=cfg.resolved_adj_dtype()
+    )
     if cfg.compute_dtype != "float32":
         dt = jnp.dtype(cfg.compute_dtype)
         data = jtu.tree_map(
