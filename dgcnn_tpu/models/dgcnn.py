@@ -390,8 +390,12 @@ def _block_propagate_bwd(res, g):
     nb, bs = g.shape[0], g.shape[1]
     g_pad = jnp.concatenate([g, jnp.zeros((1, bs, g.shape[2]), g.dtype)])
     rowsT = item_row[item_permT]  # padded items map to row nb → zero block
+    # bf16-stored blocks stay bf16 (the cotangent rounds down instead of
+    # the W×bs×bs block stream rounding up — same MXU math, half the reads)
+    bdt = blocks.dtype if blocks.dtype == jnp.bfloat16 else g.dtype
     partsT = jnp.einsum(
-        "wij,wif->wjf", blocks[item_permT].astype(g.dtype), g_pad[rowsT],
+        "wij,wif->wjf", blocks[item_permT].astype(bdt),
+        g_pad[rowsT].astype(bdt),
         preferred_element_type=jnp.float32,
     )
     d_hb = jax.ops.segment_sum(
@@ -439,11 +443,19 @@ def apply_block(
     acts = {}
     h = batch.x.astype(dt)
     mask = batch.node_mask[:, None].astype(dt)
-    blocks = pool[batch.item_pool].astype(dt)  # [W, bs, bs]
+    # never UPcast a bf16-stored pool (Config.adj_dtype) — gather the
+    # blocks at storage width and feed the propagation bf16 operands with
+    # an fp32 accumulator (same MXU math as DEFAULT-precision fp32)
+    prop_dt = (
+        jnp.bfloat16
+        if (pool.dtype == jnp.bfloat16 or dt == jnp.bfloat16)
+        else dt
+    )
+    blocks = pool[batch.item_pool].astype(prop_dt)  # [W, bs, bs]
     layer_outs = []
     for i, layer in enumerate(params["gcn"]):
         hw = jnp.dot(h, layer["w"].astype(dt), preferred_element_type=jnp.float32)
-        hb = hw.astype(dt).reshape(nb, bs, -1)
+        hb = hw.astype(prop_dt).reshape(nb, bs, -1)
         agg = block_propagate(
             hb, blocks, batch.item_row, batch.item_col,
             batch.item_permT, batch.item_colT,

@@ -342,13 +342,20 @@ class BlockSparseEngine(EngineBase):
         dev = build_block_graphset(dataset)
         self._nb = dev.nb.astype(np.int64)
         self._block_counts = dev.block_count.astype(np.int64)
-        if cfg.compute_dtype != "float32":
-            # store the block pool in the compute dtype: halves the
-            # dominant HBM stream (the per-item block reads)
+        pool_dt = (
+            cfg.compute_dtype if cfg.compute_dtype != "float32"
+            else cfg.resolved_adj_dtype()
+        )
+        if pool_dt != "float32":
+            # store the block pool rounded: halves the dominant HBM stream
+            # (the per-item block reads) and the one-time H2D transfer;
+            # under the MXU's DEFAULT fp32 matmul precision the operands
+            # are rounded to bf16 anyway (Config.adj_dtype)
             import jax.numpy as jnp
 
-            dt = jnp.dtype(cfg.compute_dtype)
-            dev = dataclasses.replace(dev, pool=dev.pool.astype(dt))
+            dev = dataclasses.replace(
+                dev, pool=dev.pool.astype(jnp.dtype(pool_dt))
+            )
         self._dev = jax.device_put(dev)
         self._runs = {}
         self._floor_nb = 8

@@ -82,6 +82,60 @@ def test_apply_dense_bf16_adj_close_and_fp32_out():
     np.testing.assert_allclose(gf16, gf32, rtol=0.1, atol=0.05)
 
 
+def test_apply_block_bf16_pool_close():
+    """Block engine: a bf16-rounded pool yields close logits and finite,
+    close grads (the custom VJP must keep bf16 operands on both sides)."""
+    from dgcnn_tpu.batching.block_sparse import (
+        block_batch_extents,
+        build_block_graphset,
+        gather_block_batch,
+    )
+    from dgcnn_tpu.models.dgcnn import apply_block
+
+    gs = synthesize_tu_dataset("DD", num_graphs=10, seed=11)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    params = init_params(jax.random.PRNGKey(1), model)
+    dev = jax.device_put(build_block_graphset(gs))
+    pool16 = dev.pool.astype(jnp.bfloat16)
+
+    idx = np.arange(6, dtype=np.int32)
+    nbb, wb = block_batch_extents(
+        np.asarray(dev.nb), np.asarray(dev.block_count), idx[None, :]
+    )
+    bb = gather_block_batch(dev, jnp.asarray(idx), nbb, wb)
+
+    def loss(p, pool):
+        return -apply_block(p, model, bb, pool).mean()
+
+    (l32, g32) = jax.value_and_grad(loss)(params, dev.pool)
+    (l16, g16) = jax.value_and_grad(loss)(params, pool16)
+    np.testing.assert_allclose(float(l16), float(l32), rtol=0.05)
+    f32 = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(g32)])
+    f16 = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(g16)])
+    assert np.all(np.isfinite(f16))
+    np.testing.assert_allclose(f16, f32, rtol=0.15, atol=0.05)
+
+
+def test_block_engine_runs_with_explicit_bf16(tmp_path):
+    from dgcnn_tpu.train.cv import run_cross_validation
+
+    gs = synthesize_tu_dataset("DD", num_graphs=16, seed=13)
+    cfg = Config(
+        data_type="DD",
+        num_epochs=2,
+        batch_size=8,
+        num_folds=2,
+        layout="block",
+        adj_dtype="bfloat16",
+        cv_parallel="sequential",
+        epochs_dir=str(tmp_path / "epochs"),
+        statistics_dir=str(tmp_path / "statistics"),
+    )
+    result = run_cross_validation(cfg, dataset=gs)
+    accs = result["test_accuracies"]
+    assert len(accs) == 2 and all(0.0 <= a <= 100.0 for a in accs)
+
+
 def test_config_resolution_and_validation():
     cfg = Config(data_type="MUTAG")
     assert cfg.resolved_adj_dtype() == "float32"  # default
