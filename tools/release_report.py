@@ -74,8 +74,14 @@ def main(root: str) -> None:
             print(f"| {ds} | — | {ref_epoch:.2f} s | — | — | — | {ref_acc} |")
             continue
         ep = median_epoch_seconds(os.path.join(root, "statistics", f"{ds}_events.jsonl"))
-        # bf16 validation runs (release_validation --dtype) tag their rows
-        tag = "" if s.get("dtype", "float32") == "float32" else f" ({s['dtype']})"
+        # non-fp32 validation runs (release_validation --dtype/--adj_dtype)
+        # tag their rows
+        tags = []
+        if s.get("dtype", "float32") != "float32":
+            tags.append(s["dtype"])
+        if s.get("adj_dtype", "float32") != "float32":
+            tags.append(f"adj={s['adj_dtype']}")
+        tag = f" ({', '.join(tags)})" if tags else ""
         print(
             f"| {ds}{tag} | {ep * 1e3:.1f} ms | {ref_epoch:.2f} s | "
             f"**{ref_epoch / ep:,.0f}×** | {s['wall_s']:.0f} s | "

@@ -36,6 +36,10 @@ def main(argv=None):
                    choices=["float32", "bfloat16"],
                    help="compute dtype (bfloat16 = the documented mixed-"
                         "precision fast path; fp32 params/loss)")
+    p.add_argument("--adj_dtype", default="float32",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="storage dtype of device-resident adjacencies "
+                        "(Config.adj_dtype)")
     args = p.parse_args(argv)
 
     from dgcnn_tpu.config import Config
@@ -52,6 +56,7 @@ def main(argv=None):
             statistics_dir=os.path.join(args.out_root, "statistics"),
             checkpoint_resume=args.resume,
             compute_dtype=args.dtype,
+            adj_dtype=args.adj_dtype,
         )
         r = run_cross_validation(cfg, allow_synthetic=True)
         wall = time.perf_counter() - t0
@@ -59,6 +64,7 @@ def main(argv=None):
             f.write(json.dumps({
                 "dataset": ds,
                 "dtype": args.dtype,
+                "adj_dtype": args.adj_dtype,
                 "wall_s": round(wall, 1),
                 "test_acc_mean": r["test_accuracy_mean"],
                 "test_acc_std": r["test_accuracy_std"],
