@@ -61,7 +61,8 @@ def _train_split(name):
     return gs.subset(perm[: int(gs.num_graphs * 0.9)]), meta
 
 
-def _bench_dense(train, epochs_per_dispatch=25, dtype="float32"):
+def _bench_dense(train, epochs_per_dispatch=25, dtype="float32",
+                 adj_dtype=None):
     """Time the framework-default path: device-resident dense dataset with
     on-device batch gather and FUSED multi-epoch dispatch (train/cv.py
     DenseEngine.run_epochs) — `epochs_per_dispatch` full training epochs
@@ -88,7 +89,9 @@ def _bench_dense(train, epochs_per_dispatch=25, dtype="float32"):
     params = init_params(jax.random.PRNGKey(324), model)
     optimizer = optax.adam(1e-3)
     state = {"p": params, "s": optimizer.init(params), "k": jax.random.PRNGKey(0)}
-    data = build_dense_dataset_on_device(train, dense_tile(train))
+    data = build_dense_dataset_on_device(
+        train, dense_tile(train), adj_dtype=adj_dtype
+    )
     run = make_dense_gather_run(model, optimizer)
     # train-epoch throughput only (the reference "Training Time" rows time
     # train(), not test() — BASELINE.md): zero eval steps in the fused run
@@ -170,7 +173,8 @@ def _bench_coo(train, impl, epochs_per_dispatch=6):
     return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
 
 
-def _bench_block(train, epochs_per_dispatch=6, dtype="float32"):
+def _bench_block(train, epochs_per_dispatch=6, dtype="float32",
+                 adj_dtype="float32"):
     """Fused block-sparse training epochs (train/cv.py BlockSparseEngine —
     the auto-layout default for heavy-tailed datasets): nonzero 128×128
     adjacency blocks, batched-MXU propagation, on-device assembly."""
@@ -182,7 +186,8 @@ def _bench_block(train, epochs_per_dispatch=6, dtype="float32"):
     from dgcnn_tpu.models.dgcnn import DGCNN, init_params
     from dgcnn_tpu.train.cv import BlockSparseEngine
 
-    cfg = Config(data_type="DD", batch_size=50, compute_dtype=dtype)
+    cfg = Config(data_type="DD", batch_size=50, compute_dtype=dtype,
+                 adj_dtype=adj_dtype)
     model = DGCNN(
         num_features=train.num_features, num_classes=train.num_classes,
         compute_dtype=dtype,
@@ -220,7 +225,8 @@ def _bench_block(train, epochs_per_dispatch=6, dtype="float32"):
     return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
 
 
-def _bench_multi(train, epochs_per_dispatch=4, dtype="float32"):
+def _bench_multi(train, epochs_per_dispatch=4, dtype="float32",
+                 adj_dtype="float32"):
     """Fused multi-tile dense training epochs (train/cv.py
     MultiDenseEngine — the default engine for heavy-tailed datasets),
     eval excluded is not possible here (the engine fuses its own minimal
@@ -232,7 +238,8 @@ def _bench_multi(train, epochs_per_dispatch=4, dtype="float32"):
     from dgcnn_tpu.models.dgcnn import DGCNN, init_params
     from dgcnn_tpu.train.cv import MultiDenseEngine
 
-    cfg = Config(data_type="DD", batch_size=50, compute_dtype=dtype)
+    cfg = Config(data_type="DD", batch_size=50, compute_dtype=dtype,
+                 adj_dtype=adj_dtype)
     model = DGCNN(num_features=train.num_features, num_classes=train.num_classes)
     optimizer = optax.adam(1e-3)
     engine = MultiDenseEngine(cfg, train, model, optimizer)
@@ -316,6 +323,18 @@ def main():
                 "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
             }
 
+        # fp32 compute with bf16-STORED adjacency (Config.adj_dtype): the
+        # dominant HBM stream halves while the MXU math is unchanged
+        # (DEFAULT precision rounds fp32 operands to bf16 regardless)
+        for name in ("NCI1", "COLLAB"):
+            edges = _epoch_edges(splits[name])
+            best, _times = _bench_dense(splits[name], adj_dtype="bfloat16")
+            detail[f"{name}_adjbf16"] = {
+                "epoch_ms": round(best * 1e3, 2),
+                "edges_per_s": round(edges / best, 1),
+                "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
+            }
+
         # COO kernel comparison on NCI1 (stderr only)
         nci1_train = splits["NCI1"]
         nci1_edges = _epoch_edges(nci1_train)
@@ -343,6 +362,12 @@ def main():
         # HBM-heavy path
         best, _times = _bench_block(dd_train, dtype="bfloat16")
         detail["DD_block_bf16"] = {
+            "epoch_ms": round(best * 1e3, 2),
+            "edges_per_s": round(dd_edges / best, 1),
+            "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
+        }
+        best, _times = _bench_block(dd_train, adj_dtype="bfloat16")
+        detail["DD_block_adjbf16"] = {
             "epoch_ms": round(best * 1e3, 2),
             "edges_per_s": round(dd_edges / best, 1),
             "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
