@@ -148,9 +148,11 @@ def test_config_resolution_and_validation():
         Config(data_type="MUTAG", adj_dtype="fp8")
 
 
-def test_dense_engine_runs_with_explicit_bf16(tmp_path):
-    """End-to-end: one tiny CV run on the dense engine with bf16 adjacency
-    storage forced (on CPU auto would pick fp32)."""
+@pytest.mark.parametrize("cv_parallel", ["sequential", "folds"])
+def test_dense_engine_runs_with_explicit_bf16(tmp_path, cv_parallel):
+    """End-to-end: one tiny CV run on the dense engine — sequential and
+    fold-lockstep drivers — with bf16 adjacency storage forced (on CPU
+    auto would pick fp32)."""
     from dgcnn_tpu.train.cv import run_cross_validation
 
     gs = synthesize_tu_dataset("MUTAG", num_graphs=20, seed=9)
@@ -161,7 +163,7 @@ def test_dense_engine_runs_with_explicit_bf16(tmp_path):
         num_folds=2,
         layout="dense",
         adj_dtype="bfloat16",
-        cv_parallel="sequential",
+        cv_parallel=cv_parallel,
         epochs_dir=str(tmp_path / "epochs"),
         statistics_dir=str(tmp_path / "statistics"),
     )
