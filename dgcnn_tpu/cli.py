@@ -74,11 +74,24 @@ def get_args(argv=None):
     parser.add_argument("--profile", default=None, type=str, metavar="DIR",
                         help="capture a jax.profiler device trace of the run "
                              "into DIR (view with TensorBoard/xprof)")
+    parser.add_argument("--platform", default="auto",
+                        choices=["auto", "cpu"],
+                        help="JAX platform pin (the capability-equivalent of "
+                             "the reference's cuda->mps->cpu fallback, "
+                             "reference train.py:75-79): 'cpu' keeps the run "
+                             "alive when the accelerator is unreachable; "
+                             "'auto' uses JAX's default backend resolution")
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     opt = get_args(argv)
+    if opt.platform != "auto":
+        # must land before the first backend touch; an env var alone is
+        # not enough on hosts whose sitecustomize force-pins a platform
+        import jax
+
+        jax.config.update("jax_platforms", opt.platform)
     import contextlib
 
     ctx = contextlib.nullcontext()

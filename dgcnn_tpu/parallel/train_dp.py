@@ -337,6 +337,62 @@ def make_device_coo_dp_run(model: DGCNN, optimizer: optax.GradientTransformation
     )
 
 
+def _make_block_dp_loss(model: DGCNN, mesh: Mesh, nb_budget: int,
+                        w_budget: int, deterministic: bool) -> Callable:
+    """(params, dev, idx_rows [n_data, slots_local], rng) → replicated
+    (global mean loss, correct). Each "data"-axis device assembles its own
+    sub-batch ON DEVICE from the replicated BlockGraphSet
+    (batching/block_sparse.py) and runs the block-sparse trunk; the graph
+    axis is unused — block propagation is a batched MXU matmul over work
+    items, already MXU-parallel (same stance as the dense DP loss)."""
+    from dgcnn_tpu.batching.block_sparse import gather_block_batch
+    from dgcnn_tpu.models.dgcnn import apply_block
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P()),
+        out_specs=(P(), P()),
+    )
+    def f(params, dev, idx_row, rng):
+        batch = gather_block_batch(dev, idx_row[0], nb_budget, w_budget)
+        dropout_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        lp = apply_block(
+            params,
+            model,
+            batch,
+            dev.pool,
+            deterministic=deterministic,
+            dropout_rng=None if deterministic else dropout_rng,
+        )
+        loss_sum, correct = _loss_terms(lp, batch.y, batch.graph_mask)
+        total = jnp.maximum(jax.lax.psum(batch.graph_mask.sum(), "data"), 1.0)
+        loss = jax.lax.psum(loss_sum, "data") / total
+        correct = jax.lax.psum(correct, "data")
+        # the graph axis never sees varying data; pmean is the replication
+        # proof for check_vma, numerically a no-op
+        return jax.lax.pmean(loss, "graph"), jax.lax.pmean(correct, "graph")
+
+    return f
+
+
+def make_block_dp_run(model: DGCNN, optimizer: optax.GradientTransformation,
+                      mesh: Mesh, nb_budget: int, w_budget: int) -> Callable:
+    """FUSED multi-epoch mesh runner over a replicated block-sparse
+    graphset — the multi-chip twin of train/loop.py make_block_run.
+
+        run(params, opt_state, rng, dev, order4d, test_order3d)
+            → (params, opt_state, rng, rows [k, 4])
+
+    order4d: [k, steps, n_data, slots_local] int32, sharded
+    P(None, None, "data"); test_order3d: [t_steps, n_data, slots_local]."""
+    return _make_fused_dp_run(
+        _make_block_dp_loss(model, mesh, nb_budget, w_budget, False),
+        _make_block_dp_loss(model, mesh, nb_budget, w_budget, True),
+        optimizer,
+    )
+
+
 def device_put_epoch(batches, mesh: Mesh):
     """Place a packed epoch on the mesh with the canonical shardings."""
     specs = batch_pspecs(scan_axis=True)

@@ -111,10 +111,7 @@ def choose_layout(cfg: Config, dataset: GraphSet) -> str:
         return "dense"
     from dgcnn_tpu.batching.block_sparse import block_graphset_bytes
 
-    if (
-        cfg.mesh_shape == (1, 1)
-        and block_graphset_bytes(dataset) <= cfg.dense_max_device_bytes
-    ):
+    if block_graphset_bytes(dataset) <= cfg.dense_max_device_bytes:
         return "block"
     return "coo"
 
@@ -765,16 +762,119 @@ class MeshDenseEngine(EngineBase):
         )
 
 
+class MeshBlockEngine(EngineBase):
+    """Mesh-sharded block-sparse engine: the BlockGraphSet (pool + block
+    tables + block-row features) is replicated across the mesh; each
+    "data"-axis device assembles its LPT-balanced (by work items ≈ FLOPs)
+    sub-batch on device and runs the block trunk; psum'd loss/grads keep
+    the exact global-batch protocol (parallel/train_dp.py
+    make_block_dp_run). Grow-only geometric budgets as in
+    BlockSparseEngine, sized over PER-DEVICE sub-batch extents."""
+
+    def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
+                 optimizer: optax.GradientTransformation):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dgcnn_tpu.batching.block_sparse import build_block_graphset
+        from dgcnn_tpu.parallel import make_mesh
+        from dgcnn_tpu.parallel.shard import lpt_assign
+        from dgcnn_tpu.parallel.train_dp import make_block_dp_run
+
+        self.cfg = cfg
+        self._model, self._optimizer = model, optimizer
+        self._lpt = lpt_assign
+        self._make_run = make_block_dp_run
+        self.n_data = cfg.mesh_shape[0]
+        self.mesh = make_mesh(cfg.mesh_shape)
+        self._slots = max(1, -(-cfg.batch_size // self.n_data))
+        dev = build_block_graphset(dataset)
+        self._nb = dev.nb.astype(np.int64)
+        self._block_counts = dev.block_count.astype(np.int64)
+        pool_dt = (
+            cfg.compute_dtype if cfg.compute_dtype != "float32"
+            else cfg.resolved_adj_dtype()
+        )
+        if pool_dt != "float32":
+            import jax.numpy as jnp
+
+            dev = dataclasses.replace(
+                dev, pool=dev.pool.astype(jnp.dtype(pool_dt))
+            )
+        self._dev = jax.device_put(dev, NamedSharding(self.mesh, P()))
+        self._o3_sharding = NamedSharding(self.mesh, P(None, "data"))
+        self._o4_sharding = NamedSharding(self.mesh, P(None, None, "data"))
+        self._runs = {}
+        self._floor_nb = 8
+        self._floor_w = 64
+
+    def _batch_rows(self, ids: np.ndarray) -> np.ndarray:
+        """One global batch → [n_data, slots]: LPT balance on stored-block
+        counts (the per-item batched matmul is the step's FLOPs), capped."""
+        out = np.full((self.n_data, self._slots), -1, np.int32)
+        groups = self._lpt(self._block_counts[ids], self.n_data, self._slots)
+        for d, g in enumerate(groups):
+            out[d, : len(g)] = ids[g]
+        return out
+
+    def _epoch_order(self, ids_seq: np.ndarray) -> np.ndarray:
+        bs = self.cfg.batch_size
+        return np.stack(
+            [
+                self._batch_rows(ids_seq[i : i + bs])
+                for i in range(0, len(ids_seq), bs)
+            ]
+        )
+
+    def _budget_for(self, *order_mats) -> tuple:
+        from dgcnn_tpu.batching.block_sparse import block_batch_extents
+
+        geom = DeviceCooEngine._geom_round
+        nb = w = 1
+        for m in order_mats:
+            # last axis = slots, so [k, steps, n_data, slots] inputs size
+            # the budget over every PER-DEVICE sub-batch row
+            bn, bw = block_batch_extents(self._nb, self._block_counts, m)
+            nb, w = max(nb, bn), max(w, bw)
+        self._floor_nb = max(self._floor_nb, geom(nb, 8))
+        self._floor_w = max(self._floor_w, geom(w, 64))
+        return self._floor_nb, self._floor_w
+
+    def _runner(self, budget):
+        if budget not in self._runs:
+            self._runs[budget] = self._make_run(
+                self._model, self._optimizer, self.mesh, *budget
+            )
+        return self._runs[budget]
+
+    def begin_fold(self, train_idx: np.ndarray, test_idx: np.ndarray) -> None:
+        self._train_idx = np.asarray(train_idx, dtype=np.int64)
+        self._test_order = self._epoch_order(np.asarray(test_idx, np.int64))
+
+    def run_epochs(self, params, opt_state, rng, perms: np.ndarray):
+        order4d = np.stack([self._epoch_order(self._train_idx[p]) for p in perms])
+        budget = self._budget_for(order4d, self._test_order)
+        params, opt_state, rng, rows = self._runner(budget)(
+            params, opt_state, rng, self._dev,
+            jax.device_put(order4d, self._o4_sharding),
+            jax.device_put(self._test_order, self._o3_sharding),
+        )
+        return params, opt_state, rng, np.asarray(
+            jax.device_get(rows), dtype=np.float64
+        )
+
+
 def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
                 optimizer: optax.GradientTransformation, layout: str):
     if cfg.mesh_shape != (1, 1):
-        if layout in ("multi", "block"):
+        if layout == "multi":
             raise ValueError(
-                f"layout={layout!r} is single-chip only; use layout='dense' "
-                "or 'coo' (or 'auto') with a mesh"
+                f"layout={layout!r} is single-chip only; use layout='dense', "
+                "'block' or 'coo' (or 'auto') with a mesh"
             )
         if layout == "dense":
             cls = MeshDenseEngine
+        elif layout == "block":
+            cls = MeshBlockEngine
         elif cfg.coo_assembly == "device":
             cls = MeshDeviceCooEngine
         else:

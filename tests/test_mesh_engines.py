@@ -30,7 +30,8 @@ def _cfg(tmp_path, **kw):
 
 @pytest.mark.parametrize(
     "mesh,layout",
-    [((4, 1), "dense"), ((2, 2), "coo"), ((4, 2), "coo"), ((8, 1), "dense")],
+    [((4, 1), "dense"), ((2, 2), "coo"), ((4, 2), "coo"), ((8, 1), "dense"),
+     ((2, 1), "block"), ((4, 2), "block")],
 )
 def test_cv_runs_on_mesh(tmp_path, mesh, layout):
     gs = synthesize_tu_dataset("MUTAG", num_graphs=48, seed=5)
@@ -136,6 +137,55 @@ def test_device_coo_dp_eval_matches_single_chip(mesh):
     loss_fn = _make_device_coo_dp_loss(model, m, bucket, "xla", True)
     got_loss, got_correct = jax.device_get(
         jax.jit(loss_fn)(params, dev, rows, jax.random.PRNGKey(0))
+    )
+    np.testing.assert_allclose(got_loss, want_loss, rtol=1e-5, err_msg=str(mesh))
+    assert got_correct == want_correct, mesh
+
+
+@pytest.mark.parametrize("mesh", [(2, 1), (4, 2)])
+def test_block_dp_eval_matches_single_chip(mesh):
+    """Deterministic loss under the mesh block-sparse engine equals the
+    single-chip block path on the same global batch (the graph axis is
+    replicated — block propagation is already MXU-parallel)."""
+    from dgcnn_tpu.batching.block_sparse import (
+        block_batch_extents,
+        build_block_graphset,
+        gather_block_batch,
+    )
+    from dgcnn_tpu.models.dgcnn import DGCNN, apply_block, init_params
+    from dgcnn_tpu.parallel import make_mesh
+    from dgcnn_tpu.parallel.shard import lpt_assign
+    from dgcnn_tpu.parallel.train_dp import _make_block_dp_loss
+    from dgcnn_tpu.train.loop import nll_loss_and_correct
+
+    gs = synthesize_tu_dataset("DD", num_graphs=14, seed=3)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    params = init_params(jax.random.PRNGKey(2), model)
+    idx = np.arange(12)
+    dev_host = build_block_graphset(gs)
+    nb = dev_host.nb.astype(np.int64)
+    wc = dev_host.block_count.astype(np.int64)
+
+    # single-device reference over the whole global batch
+    bn, bw = block_batch_extents(nb, wc, idx[None, :])
+    dev = jax.device_put(dev_host)
+    bb = gather_block_batch(dev, np.asarray(idx, np.int32), bn, bw)
+    lp = apply_block(params, model, bb, dev.pool)
+    want_loss, want_correct = jax.device_get(
+        nll_loss_and_correct(lp, bb.y, bb.graph_mask)
+    )
+
+    n_data, _ = mesh
+    m = make_mesh(mesh)
+    slots = -(-len(idx) // n_data)
+    rows = np.full((n_data, slots), -1, np.int32)
+    for d, g in enumerate(lpt_assign(wc[idx], n_data, slots)):
+        rows[d, : len(g)] = idx[g]
+    sbn, sbw = block_batch_extents(nb, wc, rows)
+    loss_fn = _make_block_dp_loss(model, m, max(sbn, 8), max(sbw, 8), True)
+    got_loss, got_correct = jax.device_get(
+        jax.jit(loss_fn)(params, jax.device_put(dev_host), rows,
+                         jax.random.PRNGKey(0))
     )
     np.testing.assert_allclose(got_loss, want_loss, rtol=1e-5, err_msg=str(mesh))
     assert got_correct == want_correct, mesh
