@@ -209,8 +209,11 @@ spmm_pallas_mxu.defvjp(_mxu_fwd, _mxu_bwd)
 
 
 def _sddmm_xla(edge_src, edge_dst, a, b):
-    """Per-edge row dot products ⟨a[src], b[dst]⟩ — the weight cotangent."""
-    return (jnp.take(a, edge_src, axis=0) * jnp.take(b, edge_dst, axis=0)).sum(-1)
+    """Weight cotangent ⟨a[src], b[dst]⟩ via the ops-level SDDMM dispatcher
+    (one-hot MXU matmuls where profitable, gather fallback otherwise)."""
+    from dgcnn_tpu.ops.spmm import sddmm
+
+    return sddmm(edge_src, edge_dst, a, b, impl="auto")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

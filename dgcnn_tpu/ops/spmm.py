@@ -150,6 +150,70 @@ def spmm_onehot(
     return outs.sum(axis=0).astype(h.dtype)
 
 
+def sddmm_xla(
+    edge_src: jax.Array, edge_dst: jax.Array, a: jax.Array, b: jax.Array
+) -> jax.Array:
+    """Sampled dense-dense matmul: per-edge row dot products
+    `out[e] = ⟨a[src[e]], b[dst[e]]⟩` — torch-sparse's SDDMM (reference
+    README.md:18; in this model it is the edge-weight cotangent of the
+    SpMM backward). Gather formulation: two row gathers + a row reduce."""
+    return (jnp.take(a, edge_src, axis=0) * jnp.take(b, edge_dst, axis=0)).sum(-1)
+
+
+def sddmm_onehot(
+    edge_src: jax.Array,
+    edge_dst: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    block: int = ONEHOT_EDGE_BLOCK,
+) -> jax.Array:
+    """SDDMM as block one-hot MXU matmuls — the same no-hardware-gather
+    trade as `spmm_onehot`: per block of `block` edges, both row lookups
+    become selector matmuls and the edge dot products a rowwise reduce:
+
+        out = rowsum( (OneHot(src) @ a) ⊙ (OneHot(dst) @ b) )
+
+    fp32 accumulation; wins whenever N·F is small (the dispatcher gate)."""
+    e = edge_src.shape[0]
+    if e % block:
+        raise ValueError(f"edge count {e} not a multiple of {block}")
+    iota = jnp.arange(a.shape[0], dtype=jnp.int32)
+
+    def blk(s, d):  # [block] each → [block] edge dots
+        oh_s = (s[:, None] == iota[None, :]).astype(a.dtype)
+        oh_d = (d[:, None] == iota[None, :]).astype(b.dtype)
+        ga = jnp.dot(oh_s, a, preferred_element_type=jnp.float32)
+        gb = jnp.dot(oh_d, b, preferred_element_type=jnp.float32)
+        return (ga * gb).sum(-1)
+
+    nb = e // block
+    out = jax.vmap(blk)(
+        edge_src.reshape(nb, block), edge_dst.reshape(nb, block)
+    )
+    return out.reshape(e).astype(jnp.promote_types(a.dtype, jnp.float32))
+
+
+def sddmm(
+    edge_src: jax.Array,
+    edge_dst: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatcher with the same gates/fallbacks as `spmm`: the one-hot MXU
+    formulation when N·F is small and the edge stream is block-aligned,
+    else the gather path."""
+    aligned = edge_src.shape[0] % ONEHOT_EDGE_BLOCK == 0
+    nf = a.shape[0] * a.shape[1]
+    if (impl == "onehot" and aligned) or (
+        impl == "auto" and nf <= _ONEHOT_MAX_NF and aligned
+    ):
+        return sddmm_onehot(edge_src, edge_dst, a, b)
+    if impl in ("xla", "auto", "onehot"):
+        return sddmm_xla(edge_src, edge_dst, a, b)
+    raise ValueError(f"unknown sddmm impl {impl!r}")
+
+
 # one-hot SpMM pays 4·N·F FLOPs/edge; the gather path pays ~60 cycles/edge.
 # Crossover on v5e (fp32 MXU ≈ 50 TF/s, 0.94 GHz): N·F ≲ 8e5.
 _ONEHOT_MAX_NF = 800_000

@@ -247,3 +247,56 @@ def test_spmm_auto_dispatch():
                         jnp.array(h), n)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_sddmm_matches_dense_and_onehot():
+    """sddmm (torch-sparse capability, reference README.md:18): gather and
+    one-hot formulations agree with a dense oracle, and the auto
+    dispatcher's misaligned fallback stays exact."""
+    import numpy as np
+
+    from dgcnn_tpu.ops.spmm import sddmm, sddmm_onehot, sddmm_xla
+
+    rng = np.random.default_rng(11)
+    n, f, e = 24, 7, 1024
+    src = jnp.array(rng.integers(0, n, e).astype(np.int32))
+    dst = jnp.array(rng.integers(0, n, e).astype(np.int32))
+    a = jnp.array(rng.normal(size=(n, f)).astype(np.float32))
+    b = jnp.array(rng.normal(size=(n, f)).astype(np.float32))
+
+    want = (np.asarray(a)[np.asarray(src)] * np.asarray(b)[np.asarray(dst)]).sum(-1)
+    np.testing.assert_allclose(np.asarray(sddmm_xla(src, dst, a, b)), want,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sddmm_onehot(src, dst, a, b)), want,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sddmm(src, dst, a, b, impl="auto")),
+                               want, rtol=1e-5, atol=1e-5)
+    # misaligned edge stream → gather fallback, same values
+    np.testing.assert_allclose(
+        np.asarray(sddmm(src[:1000], dst[:1000], a, b, impl="onehot")),
+        want[:1000], rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_sddmm_grads_match_between_impls():
+    import numpy as np
+
+    from dgcnn_tpu.ops.spmm import sddmm_onehot, sddmm_xla
+
+    rng = np.random.default_rng(13)
+    n, f, e = 12, 5, 1024
+    src = jnp.array(rng.integers(0, n, e).astype(np.int32))
+    dst = jnp.array(rng.integers(0, n, e).astype(np.int32))
+    a = jnp.array(rng.normal(size=(n, f)).astype(np.float32))
+    b = jnp.array(rng.normal(size=(n, f)).astype(np.float32))
+    w = jnp.array(rng.normal(size=(e,)).astype(np.float32))
+
+    def loss(fn, a, b):
+        return (fn(src, dst, a, b) * w).sum()
+
+    ga_x, gb_x = jax.grad(lambda aa, bb: loss(sddmm_xla, aa, bb), (0, 1))(a, b)
+    ga_o, gb_o = jax.grad(lambda aa, bb: loss(sddmm_onehot, aa, bb), (0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(ga_o), np.asarray(ga_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_o), np.asarray(gb_x),
+                               rtol=1e-4, atol=1e-5)
