@@ -66,6 +66,13 @@ class Config:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    # Run the optimizer update on ONE raveled parameter vector instead of
+    # per-leaf (train/flat_opt.py): bitwise-identical Adam math, ~13 small
+    # per-leaf kernel chains collapse into one fused chain per step.
+    # Changes the opt_state layout, so resume bundles are not
+    # interchangeable between settings. Default off until the on-chip A/B
+    # (tools/profile_step.py sgd/full rows) shows a win.
+    opt_flatten: bool = False
 
     # -- TPU-native knobs (no reference counterpart) --
     # Batch layout: "dense" = per-graph dense normalized adjacency, GCN

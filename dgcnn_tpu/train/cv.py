@@ -1086,6 +1086,10 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
     optimizer = optax.adam(
         cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps
     )
+    if cfg.opt_flatten:
+        from dgcnn_tpu.train.flat_opt import flatten_optimizer
+
+        optimizer = flatten_optimizer(optimizer)
 
     # fold-lockstep execution (train/cv_vmap.py): near-K× throughput for
     # small-dataset CV; per-fold resume needs the sequential driver, and

@@ -81,3 +81,59 @@ def test_eval_loss_matches_manual():
         corrects += float(corr)
     np.testing.assert_allclose(got_loss, np.mean(losses), rtol=1e-5)
     np.testing.assert_allclose(got_correct, corrects, rtol=1e-6)
+
+
+def test_flat_adam_matches_per_leaf_adam():
+    """flatten_optimizer (train/flat_opt.py): Adam on the raveled vector
+    computes BITWISE the same parameter trajectory as per-leaf Adam —
+    elementwise math is invariant to the ravel."""
+    import optax
+
+    from dgcnn_tpu.train.flat_opt import flatten_optimizer
+
+    key = jax.random.PRNGKey(4)
+    params = {
+        "a": jax.random.normal(jax.random.fold_in(key, 0), (7, 5)),
+        "b": [jax.random.normal(jax.random.fold_in(key, 1), (3,)),
+              jax.random.normal(jax.random.fold_in(key, 2), (2, 2, 2))],
+    }
+    opt = optax.adam(1e-3)
+    flat = flatten_optimizer(opt)
+    s1, s2 = opt.init(params), flat.init(params)
+    p1 = p2 = params
+    for i in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda p: jax.random.normal(jax.random.fold_in(key, 10 + i), p.shape),
+            p1,
+        )
+        u1, s1 = opt.update(grads, s1, p1)
+        p1 = optax.apply_updates(p1, u1)
+        u2, s2 = flat.update(grads, s2, p2)
+        p2 = optax.apply_updates(p2, u2)
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_cv_runs_with_opt_flatten(tmp_path):
+    """End-to-end CV smoke with the flattened optimizer, sequential and
+    fold-lockstep drivers."""
+    from dgcnn_tpu.config import Config
+    from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
+    from dgcnn_tpu.train.cv import run_cross_validation
+
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=20, seed=9)
+    for cv_parallel in ("sequential", "folds"):
+        cfg = Config(
+            data_type="MUTAG",
+            num_epochs=2,
+            batch_size=8,
+            num_folds=2,
+            layout="dense",
+            opt_flatten=True,
+            cv_parallel=cv_parallel,
+            epochs_dir=str(tmp_path / cv_parallel / "epochs"),
+            statistics_dir=str(tmp_path / cv_parallel / "statistics"),
+        )
+        result = run_cross_validation(cfg, dataset=gs)
+        accs = result["test_accuracies"]
+        assert len(accs) == 2 and all(0.0 <= a <= 100.0 for a in accs)
