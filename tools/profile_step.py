@@ -200,7 +200,15 @@ def main(argv=None):
     )
 
     # -- full train step under SGD and Adam (the real engine program) -----
-    for name, opt in (("sgd", optax.sgd(1e-3)), ("full", optax.adam(1e-3))):
+    from dgcnn_tpu.train.flat_opt import flatten_optimizer
+
+    for name, opt in (
+        ("sgd", optax.sgd(1e-3)),
+        ("full", optax.adam(1e-3)),
+        # Adam on ONE raveled vector (Config.opt_flatten): full − full_flat
+        # is the per-leaf kernel-launch overhead of the update
+        ("full_flat", flatten_optimizer(optax.adam(1e-3))),
+    ):
         run = make_dense_gather_run(model, opt)
         st = opt.init(params)
         no_eval = jax.device_put(np.full((0, slots), -1, np.int32))
