@@ -52,6 +52,12 @@ def get_args(argv=None):
                         help="STORAGE dtype of device-resident dense "
                              "adjacencies (bf16 halves their HBM traffic; "
                              "auto = bf16 on TPU — see config.py)")
+    parser.add_argument("--opt_flatten", action="store_true",
+                        help="run the Adam update on one raveled parameter "
+                             "vector (bitwise-identical math, one fused "
+                             "elementwise chain instead of ~13 per-leaf "
+                             "kernel chains per step; resume bundles are "
+                             "not interchangeable with the default)")
     parser.add_argument("--synthetic", action="store_true",
                         help="allow fallback to synthetic profile data when the "
                              "real dataset is unavailable offline")
@@ -112,6 +118,7 @@ def main(argv=None):
         compute_dtype=opt.dtype,
         adj_dtype=opt.adj_dtype,
         sort_pool_percentile=opt.sortpool_percentile,
+        opt_flatten=opt.opt_flatten,
         checkpoint_resume=opt.resume,
         checkpoint_every=opt.ckpt_every,
         log_every=opt.log_every,
