@@ -174,7 +174,7 @@ def _bench_coo(train, impl, epochs_per_dispatch=6):
 
 
 def _bench_block(train, epochs_per_dispatch=6, dtype="float32",
-                 adj_dtype="float32"):
+                 adj_dtype="float32", block_impl="auto"):
     """Fused block-sparse training epochs (train/cv.py BlockSparseEngine —
     the auto-layout default for heavy-tailed datasets): nonzero 128×128
     adjacency blocks, batched-MXU propagation, on-device assembly."""
@@ -187,7 +187,7 @@ def _bench_block(train, epochs_per_dispatch=6, dtype="float32",
     from dgcnn_tpu.train.cv import BlockSparseEngine
 
     cfg = Config(data_type="DD", batch_size=50, compute_dtype=dtype,
-                 adj_dtype=adj_dtype)
+                 adj_dtype=adj_dtype, block_impl=block_impl)
     model = DGCNN(
         num_features=train.num_features, num_classes=train.num_classes,
         compute_dtype=dtype,
@@ -368,6 +368,14 @@ def main():
         }
         best, _times = _bench_block(dd_train, adj_dtype="bfloat16")
         detail["DD_block_adjbf16"] = {
+            "epoch_ms": round(best * 1e3, 2),
+            "edges_per_s": round(dd_edges / best, 1),
+            "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
+        }
+        # fused CSR-style Pallas propagation (kernels/block_pallas.py)
+        # vs the XLA einsum default — the A/B behind Config.block_impl
+        best, _times = _bench_block(dd_train, block_impl="pallas")
+        detail["DD_block_pallas"] = {
             "epoch_ms": round(best * 1e3, 2),
             "edges_per_s": round(dd_edges / best, 1),
             "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),

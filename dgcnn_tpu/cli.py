@@ -52,6 +52,12 @@ def get_args(argv=None):
                         help="STORAGE dtype of device-resident dense "
                              "adjacencies (bf16 halves their HBM traffic; "
                              "auto = bf16 on TPU — see config.py)")
+    parser.add_argument("--block_impl", default="auto",
+                        choices=["auto", "xla", "pallas"],
+                        help="block-sparse propagation impl: xla = batched "
+                             "einsum + sorted segment-sum; pallas = fused "
+                             "CSR-style kernel (kernels/block_pallas.py); "
+                             "bit-compatible")
     parser.add_argument("--opt_flatten", action="store_true",
                         help="run the Adam update on one raveled parameter "
                              "vector (bitwise-identical math, one fused "
@@ -117,6 +123,7 @@ def main(argv=None):
         spmm_impl=opt.spmm,
         compute_dtype=opt.dtype,
         adj_dtype=opt.adj_dtype,
+        block_impl=opt.block_impl,
         sort_pool_percentile=opt.sortpool_percentile,
         opt_flatten=opt.opt_flatten,
         checkpoint_resume=opt.resume,

@@ -109,6 +109,14 @@ class Config:
     # on-chip bitwise-equality probe (probe_adj_bf16.py) validates the
     # default-precision rounding claim on this TPU generation.
     adj_dtype: str = "float32"
+    # Block-sparse propagation implementation (--layout block):
+    # "xla" = batched einsum over gathered [W, bs, bs] blocks + sorted
+    # segment-sum; "pallas" = fused CSR-style kernel streaming pool blocks
+    # HBM→VMEM per work item (kernels/block_pallas.py) — no gathered-block
+    # or parts materialization. "auto" currently resolves to "xla"
+    # (flip pending on-chip profile_block_step.py A/B); both are
+    # bit-compatible (tests/test_block_pallas.py).
+    block_impl: str = "auto"
     # Cross-validation execution: "folds" trains all K folds in LOCKSTEP
     # via vmap over a fold axis (near-K× throughput on small datasets —
     # per-fold protocol and metrics are unchanged, see train/cv_vmap.py);
@@ -161,6 +169,14 @@ class Config:
     # directory at run end (None = skip; see train/tensorboard.py)
     tensorboard_dir: Optional[str] = None
 
+    def resolved_block_impl(self) -> str:
+        """Concrete block propagation impl ("auto" → "xla" for now; the
+        fused pallas kernel is opt-in until the on-chip A/B of
+        tools/profile_block_step.py lands a winner)."""
+        if self.block_impl != "auto":
+            return self.block_impl
+        return "xla"
+
     def resolved_adj_dtype(self) -> str:
         """Concrete adjacency storage dtype ("auto" → backend-dependent:
         bfloat16 where the MXU's DEFAULT-precision operand rounding makes
@@ -186,6 +202,8 @@ class Config:
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
         if self.adj_dtype not in ("auto", "float32", "bfloat16"):
             raise ValueError(f"unknown adj_dtype {self.adj_dtype!r}")
+        if self.block_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown block_impl {self.block_impl!r}")
         if self.coo_assembly not in ("device", "host"):
             raise ValueError(f"unknown coo_assembly {self.coo_assembly!r}")
         if self.cv_parallel not in ("auto", "folds", "sequential"):

@@ -425,6 +425,7 @@ def apply_block(
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     return_activations: bool = False,
+    block_impl: str = "xla",
 ):
     """Forward pass on the block-sparse layout (batching/block_sparse.py):
     GCN propagation is one batched MXU matmul over nonzero-adjacency-block
@@ -433,7 +434,13 @@ def apply_block(
     tile. Normalization (and the re-added self-loops of reference
     model.py:28-33) is baked into the pool at build time, exactly like the
     dense layouts. Semantically identical to `apply_coo`
-    (tests/test_block_sparse.py asserts logit equality)."""
+    (tests/test_block_sparse.py asserts logit equality).
+
+    block_impl: "xla" runs the batched-einsum + sorted-segment-sum
+    formulation above; "pallas" runs the fused CSR-style kernel
+    (kernels/block_pallas.py) that streams pool blocks HBM→VMEM per work
+    item and never materializes the gathered `[W, bs, bs]` blocks or the
+    `[W, bs, F]` parts (bit-compatible — tests/test_block_pallas.py)."""
     dt = jnp.dtype(model.compute_dtype)
     bs = pool.shape[1]
     s_nodes = batch.x.shape[0]
@@ -451,15 +458,39 @@ def apply_block(
         if (pool.dtype == jnp.bfloat16 or dt == jnp.bfloat16)
         else dt
     )
-    blocks = pool[batch.item_pool].astype(prop_dt)  # [W, bs, bs]
+    if block_impl == "pallas" and jax.default_backend() != "tpu" and (
+        jax.typeof(batch.x).vma
+    ):
+        # the pallas HLO interpreter cannot run inside shard_map's vma
+        # checker (internal dynamic_slice trips it — a JAX rough edge), so
+        # virtual-mesh CPU runs (tests, dryrun_multichip) route to the
+        # semantically identical XLA formulation; single-device CPU keeps
+        # the real interpreter path and real TPUs always run the kernel
+        block_impl = "xla"
+    if block_impl == "pallas":
+        from dgcnn_tpu.kernels.block_pallas import block_propagate_pallas
+
+        # the fused kernel reads pool blocks straight from HBM at storage
+        # width; its hb operand must match (Mosaic dot wants one dtype)
+        prop_dt = pool.dtype
+        interpret = jax.default_backend() != "tpu"
+        blocks = None
+    else:
+        blocks = pool[batch.item_pool].astype(prop_dt)  # [W, bs, bs]
     layer_outs = []
     for i, layer in enumerate(params["gcn"]):
         hw = jnp.dot(h, layer["w"].astype(dt), preferred_element_type=jnp.float32)
         hb = hw.astype(prop_dt).reshape(nb, bs, -1)
-        agg = block_propagate(
-            hb, blocks, batch.item_row, batch.item_col,
-            batch.item_permT, batch.item_colT,
-        )
+        if block_impl == "pallas":
+            agg = block_propagate_pallas(
+                hb, pool, batch.item_pool, batch.item_row, batch.item_col,
+                batch.item_permT, batch.item_colT, interpret,
+            )
+        else:
+            agg = block_propagate(
+                hb, blocks, batch.item_row, batch.item_col,
+                batch.item_permT, batch.item_colT,
+            )
         h = jnp.tanh(agg.reshape(s_nodes, -1) + layer["b"])
         h = (h * mask).astype(dt)
         layer_outs.append(h)

@@ -46,7 +46,6 @@ def sort_pool(
     g_sorted, _, perm = jax.lax.sort(
         (node_graph.astype(jnp.int32), -key, node_idx), num_keys=2
     )
-    x_sorted = jnp.take(x, perm, axis=0)
 
     # within-graph rank = sorted position − first sorted position of my graph
     starts = jnp.searchsorted(
@@ -55,9 +54,18 @@ def sort_pool(
     safe_g = jnp.minimum(g_sorted, num_graph_slots - 1)
     rank = jnp.arange(n, dtype=jnp.int32) - jnp.take(starts, safe_g)
 
-    out = jnp.zeros((num_graph_slots, k, x.shape[1]), dtype=x.dtype)
-    # out-of-range (padding graphs, rank >= k) indices are dropped.
-    return out.at[g_sorted, rank].set(x_sorted, mode="drop")
+    # scatter INDICES, then gather only the kept rows: the sort decides
+    # placement on [n] int keys alone, so the [n, C] feature matrix is
+    # never permuted and the row scatter/gather shrinks from n rows to
+    # B·k rows (n can be ~25k packed nodes on D&D-sized batches; gathers
+    # cost ~60 cycles/index on TPU). Sentinel n marks empty (slot, rank)
+    # cells; out-of-range (padding graphs, rank >= k) scatters are dropped.
+    idx = jnp.full((num_graph_slots, k), n, jnp.int32)
+    idx = idx.at[g_sorted, rank].set(perm, mode="drop")
+    valid = idx < n
+    pooled = jnp.take(x, jnp.minimum(idx, n - 1).reshape(-1), axis=0)
+    pooled = pooled.reshape(num_graph_slots, k, x.shape[1])
+    return jnp.where(valid[..., None], pooled, 0)
 
 
 def sort_pool_dense(x: jax.Array, node_mask: jax.Array, k: int) -> jax.Array:

@@ -338,7 +338,8 @@ def make_device_coo_dp_run(model: DGCNN, optimizer: optax.GradientTransformation
 
 
 def _make_block_dp_loss(model: DGCNN, mesh: Mesh, nb_budget: int,
-                        w_budget: int, deterministic: bool) -> Callable:
+                        w_budget: int, deterministic: bool,
+                        block_impl: str = "xla") -> Callable:
     """(params, dev, idx_rows [n_data, slots_local], rng) → replicated
     (global mean loss, correct). Each "data"-axis device assembles its own
     sub-batch ON DEVICE from the replicated BlockGraphSet
@@ -364,6 +365,7 @@ def _make_block_dp_loss(model: DGCNN, mesh: Mesh, nb_budget: int,
             dev.pool,
             deterministic=deterministic,
             dropout_rng=None if deterministic else dropout_rng,
+            block_impl=block_impl,
         )
         loss_sum, correct = _loss_terms(lp, batch.y, batch.graph_mask)
         total = jnp.maximum(jax.lax.psum(batch.graph_mask.sum(), "data"), 1.0)
@@ -377,7 +379,8 @@ def _make_block_dp_loss(model: DGCNN, mesh: Mesh, nb_budget: int,
 
 
 def make_block_dp_run(model: DGCNN, optimizer: optax.GradientTransformation,
-                      mesh: Mesh, nb_budget: int, w_budget: int) -> Callable:
+                      mesh: Mesh, nb_budget: int, w_budget: int,
+                      block_impl: str = "xla") -> Callable:
     """FUSED multi-epoch mesh runner over a replicated block-sparse
     graphset — the multi-chip twin of train/loop.py make_block_run.
 
@@ -387,8 +390,8 @@ def make_block_dp_run(model: DGCNN, optimizer: optax.GradientTransformation,
     order4d: [k, steps, n_data, slots_local] int32, sharded
     P(None, None, "data"); test_order3d: [t_steps, n_data, slots_local]."""
     return _make_fused_dp_run(
-        _make_block_dp_loss(model, mesh, nb_budget, w_budget, False),
-        _make_block_dp_loss(model, mesh, nb_budget, w_budget, True),
+        _make_block_dp_loss(model, mesh, nb_budget, w_budget, False, block_impl),
+        _make_block_dp_loss(model, mesh, nb_budget, w_budget, True, block_impl),
         optimizer,
     )
 

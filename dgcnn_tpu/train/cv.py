@@ -372,7 +372,8 @@ class BlockSparseEngine(EngineBase):
     def _runner(self, budget):
         if budget not in self._runs:
             self._runs[budget] = self._make_run(
-                self._model, self._optimizer, *budget
+                self._model, self._optimizer, *budget,
+                block_impl=self.cfg.resolved_block_impl(),
             )
         return self._runs[budget]
 
@@ -842,7 +843,8 @@ class MeshBlockEngine(EngineBase):
     def _runner(self, budget):
         if budget not in self._runs:
             self._runs[budget] = self._make_run(
-                self._model, self._optimizer, self.mesh, *budget
+                self._model, self._optimizer, self.mesh, *budget,
+                block_impl=self.cfg.resolved_block_impl(),
             )
         return self._runs[budget]
 

@@ -293,6 +293,7 @@ def make_block_run(
     optimizer: optax.GradientTransformation,
     nb_budget: int,
     w_budget: int,
+    block_impl: str = "xla",
 ) -> Callable:
     """FUSED multi-epoch runner over a device-resident block-sparse
     graphset (batching/block_sparse.py) — same contract as
@@ -315,7 +316,7 @@ def make_block_run(
             def loss_fn(p):
                 lp = apply_block(
                     p, model, batch, dev.pool, deterministic=False,
-                    dropout_rng=dropout_rng,
+                    dropout_rng=dropout_rng, block_impl=block_impl,
                 )
                 return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
 
@@ -338,7 +339,9 @@ def make_block_run(
 
             def eval_body(c, idx_row):
                 batch = gather_block_batch(dev, idx_row, nb_budget, w_budget)
-                lp = apply_block(params, model, batch, dev.pool)
+                lp = apply_block(
+                    params, model, batch, dev.pool, block_impl=block_impl
+                )
                 return c, nll_loss_and_correct(lp, batch.y, batch.graph_mask)
 
             _, (te_losses, te_corrects) = jax.lax.scan(

@@ -189,3 +189,47 @@ def test_block_dp_eval_matches_single_chip(mesh):
     )
     np.testing.assert_allclose(got_loss, want_loss, rtol=1e-5, err_msg=str(mesh))
     assert got_correct == want_correct, mesh
+
+
+def test_block_dp_pallas_matches_xla_impl():
+    """block_impl="pallas" inside the shard_map'd mesh block loss must
+    agree with the xla impl. On the CPU test mesh this pins the documented
+    fallback routing (the pallas HLO interpreter cannot run under
+    shard_map's vma checker — apply_block routes non-TPU mesh traces to
+    the identical XLA formulation); on real TPU meshes the same call runs
+    the compiled kernel."""
+    from dgcnn_tpu.batching.block_sparse import (
+        block_batch_extents,
+        build_block_graphset,
+    )
+    from dgcnn_tpu.models.dgcnn import DGCNN, init_params
+    from dgcnn_tpu.parallel import make_mesh
+    from dgcnn_tpu.parallel.shard import lpt_assign
+    from dgcnn_tpu.parallel.train_dp import _make_block_dp_loss
+
+    gs = synthesize_tu_dataset("DD", num_graphs=14, seed=3)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    params = init_params(jax.random.PRNGKey(2), model)
+    idx = np.arange(12)
+    dev_host = build_block_graphset(gs)
+    nb = dev_host.nb.astype(np.int64)
+    wc = dev_host.block_count.astype(np.int64)
+
+    n_data = 4
+    m = make_mesh((n_data, 2))
+    slots = -(-len(idx) // n_data)
+    rows = np.full((n_data, slots), -1, np.int32)
+    for d, g in enumerate(lpt_assign(wc[idx], n_data, slots)):
+        rows[d, : len(g)] = idx[g]
+    sbn, sbw = block_batch_extents(nb, wc, rows)
+    dev = jax.device_put(dev_host)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        loss_fn = _make_block_dp_loss(
+            model, m, max(sbn, 8), max(sbw, 8), True, impl
+        )
+        outs[impl] = jax.device_get(
+            jax.jit(loss_fn)(params, dev, rows, jax.random.PRNGKey(0))
+        )
+    np.testing.assert_allclose(outs["pallas"][0], outs["xla"][0], rtol=1e-5)
+    assert outs["pallas"][1] == outs["xla"][1]

@@ -60,6 +60,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=50)
     p.add_argument("--adj_dtype", default="float32",
                    choices=["auto", "float32", "bfloat16"])
+    p.add_argument("--block_impl", default="xla", choices=["xla", "pallas"],
+                   help="propagation impl for the prop/fwd/grad/sgd/full "
+                        "rows (kernels/block_pallas.py vs the XLA einsum)")
     p.add_argument("--force_cpu", action="store_true",
                    help="run on host CPU (mechanics check; the env's "
                         "sitecustomize pins the axon TPU platform, so an "
@@ -182,15 +185,29 @@ def main(argv=None):
     bs = dev_host.pool.shape[1]
     prop_dt = jnp.bfloat16 if adj_dt == "bfloat16" else jnp.float32
 
+    if args.block_impl == "pallas":
+        from dgcnn_tpu.kernels.block_pallas import block_propagate_pallas
+
+        interp = jax.default_backend() != "tpu"
+
+        def _prop(hb):
+            return block_propagate_pallas(
+                hb, dev.pool, fixed.item_pool, fixed.item_row,
+                fixed.item_col, fixed.item_permT, fixed.item_colT, interp,
+            )
+    else:
+        def _prop(hb):
+            return block_propagate(
+                hb, fixed_blocks.astype(prop_dt), fixed.item_row,
+                fixed.item_col, fixed.item_permT, fixed.item_colT,
+            )
+
     def prop_loss(ws, seed):
         h = fixed.x + seed
         for w in ws:
             hw = jnp.dot(h, w[: h.shape[-1]], preferred_element_type=jnp.float32)
             hb = hw.astype(prop_dt).reshape(nb_budget, bs, -1)
-            agg = block_propagate(
-                hb, fixed_blocks.astype(prop_dt), fixed.item_row,
-                fixed.item_col, fixed.item_permT, fixed.item_colT,
-            )
+            agg = _prop(hb)
             h = jnp.tanh(agg.reshape(nb_budget * bs, -1))
         return jnp.sum(h)
 
@@ -221,7 +238,7 @@ def main(argv=None):
     def step_loss(p, idx_row, key):
         batch = gather_block_batch(dev, idx_row, nb_budget, w_budget)
         lp = apply_block(p, model, batch, dev.pool, deterministic=False,
-                         dropout_rng=key)
+                         dropout_rng=key, block_impl=args.block_impl)
         loss, _ = nll_loss_and_correct(lp, batch.y, batch.graph_mask)
         return loss
 
@@ -253,7 +270,8 @@ def main(argv=None):
     # -- full train step under SGD and Adam (the real engine program) ------
     no_eval = jax.device_put(np.full((0, slots), -1, np.int32))
     for name, opt in (("sgd", optax.sgd(1e-3)), ("full", optax.adam(1e-3))):
-        run = make_block_run(model, opt, nb_budget, w_budget)
+        run = make_block_run(model, opt, nb_budget, w_budget,
+                             block_impl=args.block_impl)
         st = opt.init(params)
 
         def dispatch(r, run=run, st=st):
@@ -274,7 +292,7 @@ def main(argv=None):
     out["_meta"] = {
         "data_type": args.data_type, "nb_budget": nb_budget,
         "w_budget": w_budget, "slots": slots, "steps": S,
-        "adj_dtype": adj_dt,
+        "adj_dtype": adj_dt, "block_impl": args.block_impl,
         "block_mb_per_step": round(
             w_budget * bs * bs * (2 if adj_dt == "bfloat16" else 4) / 1e6, 2
         ),

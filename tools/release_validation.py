@@ -40,6 +40,9 @@ def main(argv=None):
                    choices=["auto", "float32", "bfloat16"],
                    help="storage dtype of device-resident adjacencies "
                         "(Config.adj_dtype)")
+    p.add_argument("--block_impl", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="block-sparse propagation impl (Config.block_impl)")
     args = p.parse_args(argv)
 
     from dgcnn_tpu.config import Config
@@ -57,6 +60,7 @@ def main(argv=None):
             checkpoint_resume=args.resume,
             compute_dtype=args.dtype,
             adj_dtype=args.adj_dtype,
+            block_impl=args.block_impl,
         )
         r = run_cross_validation(cfg, allow_synthetic=True)
         wall = time.perf_counter() - t0
@@ -65,6 +69,7 @@ def main(argv=None):
                 "dataset": ds,
                 "dtype": args.dtype,
                 "adj_dtype": args.adj_dtype,
+                "block_impl": args.block_impl,
                 "wall_s": round(wall, 1),
                 "test_acc_mean": r["test_accuracy_mean"],
                 "test_acc_std": r["test_accuracy_std"],
