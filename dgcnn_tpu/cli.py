@@ -57,7 +57,7 @@ def get_args(argv=None):
                         help="block-sparse propagation impl: xla = batched "
                              "einsum + sorted segment-sum; pallas = fused "
                              "CSR-style kernel (kernels/block_pallas.py); "
-                             "bit-compatible")
+                             "same math, equality pinned to 1e-6 in tests")
     parser.add_argument("--opt_flatten", action="store_true",
                         help="run the Adam update on one raveled parameter "
                              "vector (bitwise-identical math, one fused "

@@ -114,8 +114,10 @@ class Config:
     # segment-sum; "pallas" = fused CSR-style kernel streaming pool blocks
     # HBM→VMEM per work item (kernels/block_pallas.py) — no gathered-block
     # or parts materialization. "auto" currently resolves to "xla"
-    # (flip pending on-chip profile_block_step.py A/B); both are
-    # bit-compatible (tests/test_block_pallas.py).
+    # (flip pending on-chip profile_block_step.py A/B). Same MXU math and
+    # fp32 accumulation; per-row accumulation ORDER differs from XLA's
+    # segment-sum tree, so equality is pinned to 1e-6 (not bitwise) in
+    # tests/test_block_pallas.py.
     block_impl: str = "auto"
     # Cross-validation execution: "folds" trains all K folds in LOCKSTEP
     # via vmap over a fold axis (near-K× throughput on small datasets —

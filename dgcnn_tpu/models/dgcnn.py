@@ -440,7 +440,10 @@ def apply_block(
     formulation above; "pallas" runs the fused CSR-style kernel
     (kernels/block_pallas.py) that streams pool blocks HBM→VMEM per work
     item and never materializes the gathered `[W, bs, bs]` blocks or the
-    `[W, bs, F]` parts (bit-compatible — tests/test_block_pallas.py)."""
+    `[W, bs, F]` parts. Semantically identical — same MXU math and fp32
+    accumulation, equality pinned to 1e-6 in tests/test_block_pallas.py;
+    the per-row accumulation ORDER differs from XLA's segment-sum
+    reduction tree, so last-bit fp32 divergence on chip is possible."""
     dt = jnp.dtype(model.compute_dtype)
     bs = pool.shape[1]
     s_nodes = batch.x.shape[0]
@@ -467,12 +470,16 @@ def apply_block(
         # semantically identical XLA formulation; single-device CPU keeps
         # the real interpreter path and real TPUs always run the kernel
         block_impl = "xla"
+    if block_impl == "pallas" and pool.dtype != prop_dt:
+        # mixed pool/compute dtypes (fp32 pool under bf16 compute): the
+        # fused kernel reads the pool at storage width, so it cannot apply
+        # the per-block downcast the xla path does — route there instead
+        # of computing at a different precision (the engines always store
+        # the pool at prop_dt, so only direct callers reach this)
+        block_impl = "xla"
     if block_impl == "pallas":
         from dgcnn_tpu.kernels.block_pallas import block_propagate_pallas
 
-        # the fused kernel reads pool blocks straight from HBM at storage
-        # width; its hb operand must match (Mosaic dot wants one dtype)
-        prop_dt = pool.dtype
         interpret = jax.default_backend() != "tpu"
         blocks = None
     else:

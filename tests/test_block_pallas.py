@@ -126,6 +126,37 @@ def test_bf16_pool_matches_xla_bf16_path():
     )
 
 
+def test_bf16_pool_gradient_matches_xla_bf16_path():
+    """Backward with a bf16-stored pool: the kernel's transpose pass reads
+    the pool at storage width and rounds the cotangent to bf16 (gdt cast)
+    exactly like the XLA custom VJP's bdt cast — gradients must agree."""
+    dev, batch, hb = _batch_and_inputs(seed=6, f=5)
+    pool16 = dev.pool.astype(jnp.bfloat16)
+    cot = jnp.asarray(
+        np.random.default_rng(11).standard_normal(hb.shape).astype(np.float32)
+    )
+
+    def loss_ref(h):
+        blocks16 = pool16[batch.item_pool]
+        out = block_propagate(
+            h.astype(jnp.bfloat16), blocks16, batch.item_row, batch.item_col,
+            batch.item_permT, batch.item_colT,
+        )
+        return jnp.vdot(out, cot)
+
+    def loss_pal(h):
+        out = block_propagate_pallas(
+            h.astype(jnp.bfloat16), pool16, batch.item_pool, batch.item_row,
+            batch.item_col, batch.item_permT, batch.item_colT, True,
+        )
+        return jnp.vdot(out, cot)
+
+    g_ref = jax.grad(loss_ref)(hb)
+    g_pal = jax.grad(loss_pal)(hb)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_apply_block_pallas_matches_xla_end_to_end():
     """Full model forward (4 GCN layers + sortpool + head) equality
     between block_impl variants on an assembled batch."""

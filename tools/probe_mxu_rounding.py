@@ -27,8 +27,10 @@ def main():
 
     key = jax.random.PRNGKey(0)
     ok_all = True
-    for name, scale in [("unit", 1.0), ("tiny", 1e-20), ("huge", 1e18)]:
-        ka, kx = jax.random.split(jax.random.fold_in(key, hash(name) % 2**31))
+    for case, (name, scale) in enumerate(
+        [("unit", 1.0), ("tiny", 1e-20), ("huge", 1e18)]
+    ):
+        ka, kx = jax.random.split(jax.random.fold_in(key, case))
         # adjacency-like: nonnegative, many exact zeros (masked), plus a
         # features-like dense rhs with mixed signs
         a = jax.random.uniform(ka, (512, 512), jnp.float32) * scale

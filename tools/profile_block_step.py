@@ -32,24 +32,17 @@ import argparse
 import json
 import os
 import sys
-import time
-
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_here))
+sys.path.insert(1, _here)  # for the shared profile_step._timed import
 
 
-def _timed(fn, make_args, steps, reps):
-    """min over reps of one fused dispatch, per step (seconds). Inputs are
-    varied per rep (the transport caches identical dispatches) and each rep
-    is fenced by a D2H value fetch."""
-    float(fn(*make_args(0)))  # compile + warm
-    best = float("inf")
-    for r in range(1, reps + 1):
-        t0 = time.perf_counter()
-        float(fn(*make_args(r)))
-        best = min(best, time.perf_counter() - t0)
-    return best / steps
+# one timing methodology for every step-anatomy tool — the dense and block
+# profilers' rows are only comparable if warm-up, fencing and per-step
+# division stay identical
+from profile_step import _timed  # noqa: E402
 
 
 def main(argv=None):
