@@ -227,6 +227,30 @@ def main(argv=None):
         prop_grad, lambda r: (jnp.float32(r),), S, args.reps
     )
 
+    # -- sortpool on a fixed packed node matrix (the segment formulation:
+    # ops/sort_pool.py — sort [S] keys, scatter indices, gather B*k rows) --
+    from dgcnn_tpu.ops.sort_pool import sort_pool
+
+    cat_fixed = jax.block_until_ready(jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(5), (nb_budget * bs, 97), jnp.float32
+        )
+    )())
+
+    @jax.jit
+    def sortpool(seed):
+        def body(c, _):
+            pooled = sort_pool(
+                cat_fixed + c * 1e-9 + seed, fixed.node_graph, slots, 30
+            )
+            return c + pooled.sum(), ()
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=S)
+        return c
+
+    report["sortpool"] = _timed(
+        sortpool, lambda r: (jnp.float32(r),), S, args.reps
+    )
+
     # -- full forward / grad (assembly included, no optimizer) -------------
     def step_loss(p, idx_row, key):
         batch = gather_block_batch(dev, idx_row, nb_budget, w_budget)
