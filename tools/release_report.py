@@ -81,6 +81,8 @@ def main(root: str) -> None:
             tags.append(s["dtype"])
         if s.get("adj_dtype", "float32") != "float32":
             tags.append(f"adj={s['adj_dtype']}")
+        if s.get("block_impl", "auto") not in ("auto", "xla"):
+            tags.append(s["block_impl"])
         tag = f" ({', '.join(tags)})" if tags else ""
         print(
             f"| {ds}{tag} | {ep * 1e3:.1f} ms | {ref_epoch:.2f} s | "
