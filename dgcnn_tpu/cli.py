@@ -87,23 +87,30 @@ def get_args(argv=None):
                         help="capture a jax.profiler device trace of the run "
                              "into DIR (view with TensorBoard/xprof)")
     parser.add_argument("--platform", default="auto",
-                        choices=["auto", "cpu"],
+                        choices=["auto", "cpu", "probe"],
                         help="JAX platform pin (the capability-equivalent of "
                              "the reference's cuda->mps->cpu fallback, "
                              "reference train.py:75-79): 'cpu' keeps the run "
                              "alive when the accelerator is unreachable; "
-                             "'auto' uses JAX's default backend resolution")
+                             "'auto' uses JAX's default backend resolution; "
+                             "'probe' health-checks the accelerator with a "
+                             "subprocess dispatch first and falls back to "
+                             "CPU if it hangs (remote TPU transports can "
+                             "wedge without raising — utils/platform.py)")
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     opt = get_args(argv)
-    if opt.platform != "auto":
+    from dgcnn_tpu.utils.platform import resolve_platform
+
+    pin = resolve_platform(opt.platform)
+    if pin:
         # must land before the first backend touch; an env var alone is
         # not enough on hosts whose sitecustomize force-pins a platform
         import jax
 
-        jax.config.update("jax_platforms", opt.platform)
+        jax.config.update("jax_platforms", pin)
     import contextlib
 
     ctx = contextlib.nullcontext()

@@ -1135,12 +1135,22 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
             and not cfg.checkpoint_every
             and lockstep_step_bytes <= cfg.lockstep_max_step_bytes
         )
+    from dgcnn_tpu.utils.platform import DispatchWatchdog
+
+    # first device work (dataset H2D/densify + first fused epoch program)
+    # on a remote transport can hang without error — print a hint if it
+    # hasn't completed in 15 min instead of stalling silently forever
+    watchdog = DispatchWatchdog(900, f"{cfg.data_type} first fold").start()
+
     if use_lockstep:
         from dgcnn_tpu.train.cv_vmap import run_cv_folds_vmap
 
-        train_accs, test_accs = run_cv_folds_vmap(
-            cfg, dataset, model, optimizer, folds, events
-        )
+        try:
+            train_accs, test_accs = run_cv_folds_vmap(
+                cfg, dataset, model, optimizer, folds, events
+            )
+        finally:
+            watchdog.cancel()
         return _finalize_cv(cfg, events, train_accs, test_accs)
 
     engine = make_engine(cfg, dataset, model, optimizer, layout)
@@ -1173,10 +1183,13 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
                 continue
 
         t0 = time.perf_counter()
-        metrics = run_fold(
-            cfg, dataset, model, fold_number, train_idx, test_idx, engine,
-            events, optimizer,
-        )
+        try:
+            metrics = run_fold(
+                cfg, dataset, model, fold_number, train_idx, test_idx, engine,
+                events, optimizer,
+            )
+        finally:
+            watchdog.cancel()  # first fold done (or raised) — hint window over
         dt = time.perf_counter() - t0
         train_accs.append(metrics.last("train_accuracy"))
         test_accs.append(metrics.last("test_accuracy"))
@@ -1187,6 +1200,7 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
         if tqdm is not None:
             fold_iter.set_postfix(test_acc=f"{test_accs[-1]:.2f}%")
 
+    watchdog.cancel()  # no-op unless every fold was resume-skipped
     return _finalize_cv(cfg, events, train_accs, test_accs)
 
 
