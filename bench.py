@@ -284,6 +284,21 @@ def main():
     # driver's bench budget and times only the framework-default paths.
     full = "--full" in sys.argv
 
+    # fail FAST if the accelerator transport is wedged (it hangs without
+    # raising — utils/platform.py): a nonzero exit with a clear stderr
+    # line beats an indefinitely hung benchmark. --no-probe skips.
+    if "--no-probe" not in sys.argv:
+        from dgcnn_tpu.utils.platform import probe_accelerator
+
+        if not probe_accelerator(timeout_s=150.0):
+            print(
+                "bench.py: accelerator probe FAILED (no dispatch completed "
+                "within 150s) — transport wedged or chip unreachable; "
+                "refusing to hang. Rerun with --no-probe to force.",
+                file=sys.stderr,
+            )
+            return 1
+
     # NOTE: the persistent XLA compile cache is deliberately NOT enabled
     # here — on the remote-attached TPU it adds ~11 minutes of one-time
     # per-process overhead to the first lowering and never avoids a
@@ -417,4 +432,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)
