@@ -93,7 +93,21 @@ def main(argv=None):
     p.add_argument("--batch_size", default=50, type=int)
     p.add_argument("--out", default=None, help="CSV of per-graph predictions")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "probe"],
+                   help="JAX platform pin; 'probe' health-checks the "
+                        "accelerator and falls back to CPU if it hangs "
+                        "(utils/platform.py) — a serving process must "
+                        "degrade, not stall")
     args = p.parse_args(argv)
+
+    from dgcnn_tpu.utils.platform import resolve_platform
+
+    pin = resolve_platform(args.platform)
+    if pin:
+        import jax
+
+        jax.config.update("jax_platforms", pin)
 
     gs, meta = load_dataset(
         args.data_type, root=args.data_root, allow_synthetic=args.synthetic
