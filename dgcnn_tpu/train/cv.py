@@ -237,11 +237,7 @@ class DeviceCooEngine(EngineBase):
         self._model, self._optimizer = model, optimizer
         self._BucketSpec = BucketSpec
         self._make_run = make_device_coo_run
-        worst = compute_bucket(
-            dataset, cfg.batch_size, cfg.node_pad_multiple,
-            cfg.edge_pad_multiple, cfg.graph_pad_multiple,
-        )
-        self._slots = worst.num_graphs
+        self._slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
         # per-graph sizes for ADAPTIVE buckets: the worst-case bucket (sum
         # of the batch_size largest graphs) over-pads skewed datasets like
         # D&D ~7x; since batch composition is known on host before a chunk
@@ -297,6 +293,9 @@ class DeviceCooEngine(EngineBase):
         self._test_order = order_matrix(
             np.asarray(test_idx, np.int32), self.cfg.batch_size, self._slots
         )
+        # the test order never changes within a fold — ship it once, not
+        # once per fused chunk (H2D on this transport is the scarce lane)
+        self._test_order_dev = jax.device_put(self._test_order)
 
     def run_epochs(self, params, opt_state, rng, perms: np.ndarray):
         order3d = np.stack(
@@ -308,7 +307,7 @@ class DeviceCooEngine(EngineBase):
         bucket = self._bucket_for(order3d, self._test_order)
         params, opt_state, rng, rows = self._runner(bucket)(
             params, opt_state, rng, self._dev, jax.device_put(order3d),
-            jax.device_put(self._test_order),
+            self._test_order_dev,
         )
         return params, opt_state, rng, np.asarray(
             jax.device_get(rows), dtype=np.float64
@@ -382,6 +381,8 @@ class BlockSparseEngine(EngineBase):
         self._test_order = order_matrix(
             np.asarray(test_idx, np.int32), self.cfg.batch_size, self._slots
         )
+        # shipped once per fold, not once per fused chunk
+        self._test_order_dev = jax.device_put(self._test_order)
 
     def run_epochs(self, params, opt_state, rng, perms: np.ndarray):
         order3d = np.stack(
@@ -393,7 +394,7 @@ class BlockSparseEngine(EngineBase):
         budget = self._budget_for(order3d, self._test_order)
         params, opt_state, rng, rows = self._runner(budget)(
             params, opt_state, rng, self._dev, jax.device_put(order3d),
-            jax.device_put(self._test_order),
+            self._test_order_dev,
         )
         return params, opt_state, rng, np.asarray(
             jax.device_get(rows), dtype=np.float64
@@ -908,7 +909,9 @@ def run_fold(
     """One fold. The engine (and its jitted programs) is shared across folds
     so compilation happens once per shape, not once per fold."""
     n_train, n_test = len(train_idx), len(test_idx)
-    train_edges = int(dataset.subset(train_idx).total_edges)
+    # edges/s denominator only — no GraphSet.subset copy (that walks and
+    # copies ~90% of the node/edge arrays per fold for one integer)
+    train_edges = int(dataset.edge_counts()[np.asarray(train_idx)].sum())
     engine.begin_fold(train_idx, test_idx)
 
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), fold_number)
@@ -937,6 +940,15 @@ def run_fold(
         params, opt_state = bundle["params"], bundle["opt_state"]
         run_key = jax.numpy.asarray(bundle["rng"])
         start_epoch = int(bundle["epoch"]) + 1
+        if start_epoch > cfg.num_epochs:
+            raise ValueError(
+                f"--resume checkpoint {inflight!r} is at epoch "
+                f"{start_epoch - 1}, beyond --num_epochs="
+                f"{cfg.num_epochs}: refusing to publish a "
+                f"{start_epoch - 1}-epoch fold as a {cfg.num_epochs}-epoch "
+                "protocol result. Rerun with the original --num_epochs or "
+                "delete the inflight checkpoint."
+            )
         metrics.rows = {c: list(map(float, bundle["metrics"][c]))
                         for c in FoldMetrics.COLUMNS}
         # replay the shuffle stream so epoch k sees the same permutation it
@@ -1080,8 +1092,10 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
         num_features=dataset.num_features,
         num_classes=dataset.num_classes,
         layout=layout,
+        # eval_shape: leaf shapes only, no device init/compile on the
+        # startup path (every fold re-inits its own params anyway)
         num_params=num_params(
-            init_params(jax.random.PRNGKey(0), model)
+            jax.eval_shape(lambda: init_params(jax.random.PRNGKey(0), model))
         ),
     )
 

@@ -9,6 +9,9 @@ train.py:80,122-125,130-131,144-145) with server-free artifacts:
   * overall CSV `statistics/<DS>_results_overall.csv` (fold-indexed);
   * an append-only JSONL event stream (`statistics/<DS>_events.jsonl`) with
     throughput fields (edges/s, step time) the reference never had.
+    Consumer caveat: `--resume` replays epochs that postdate the last
+    checkpoint, re-appending their rows — dedupe on (fold, epoch) keeping
+    the LAST occurrence (train/tensorboard.py export_events does).
 """
 
 from __future__ import annotations

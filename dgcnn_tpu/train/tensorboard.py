@@ -28,31 +28,38 @@ def export_events(events_path: str, logdir: str) -> int:
     from tensorboardX import SummaryWriter
 
     ds = os.path.basename(events_path).split("_events")[0]
+    # the event stream is APPEND-ONLY: a crash inside a fused chunk that
+    # postdates the last checkpoint makes --resume replay (and re-append)
+    # those epochs, so (fold, epoch) can occur twice — keep the LAST
+    # occurrence (the replayed, authoritative one)
+    latest = {}
+    with open(events_path) as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if ev.get("kind") != "epoch":
+                continue
+            latest[(int(ev["fold"]), int(ev["epoch"]))] = ev
+
     writers = {}
     points = 0
     try:
-        with open(events_path) as f:
-            for line in f:
-                try:
-                    ev = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if ev.get("kind") != "epoch":
-                    continue
-                fold, epoch = int(ev["fold"]), int(ev["epoch"])
-                w = writers.get(fold)
-                if w is None:
-                    w = writers[fold] = SummaryWriter(
-                        logdir=os.path.join(logdir, ds, f"fold_{fold}")
-                    )
-                ts = ev.get("ts")
-                for tag in ("train_loss", "test_loss", "train_accuracy",
-                            "test_accuracy", "edges_per_second",
-                            "epoch_seconds"):
-                    if tag in ev:
-                        w.add_scalar(tag, float(ev[tag]), global_step=epoch,
-                                     walltime=ts)
-                        points += 1
+        for (fold, epoch), ev in sorted(latest.items()):
+            w = writers.get(fold)
+            if w is None:
+                w = writers[fold] = SummaryWriter(
+                    logdir=os.path.join(logdir, ds, f"fold_{fold}")
+                )
+            ts = ev.get("ts")
+            for tag in ("train_loss", "test_loss", "train_accuracy",
+                        "test_accuracy", "edges_per_second",
+                        "epoch_seconds"):
+                if tag in ev:
+                    w.add_scalar(tag, float(ev[tag]), global_step=epoch,
+                                 walltime=ts)
+                    points += 1
     finally:
         for w in writers.values():
             w.close()

@@ -78,3 +78,35 @@ def test_midfold_resume_reproduces_uninterrupted_run(tmp_path, monkeypatch, caps
     assert got == want
     # inflight bundle cleaned up after fold completion
     assert not (tmp_path / "epochs_crash" / "MUTAG_1_inflight.npz").exists()
+
+
+def test_resume_beyond_requested_epochs_refuses(tmp_path, monkeypatch):
+    """An inflight checkpoint past --num_epochs must error, not silently
+    publish a longer-protocol fold as the shorter protocol's result."""
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=0)
+
+    # crash on the epoch-3 event: epoch 2's inflight bundle already exists
+    orig_write = cv_mod.EventLog.write
+
+    def exploding_write(self, **event):
+        if event.get("kind") == "epoch" and event.get("epoch") == 3:
+            raise _Crash()
+        return orig_write(self, **event)
+
+    monkeypatch.setattr(cv_mod.EventLog, "write", exploding_write)
+    with pytest.raises(_Crash):
+        run_cross_validation(
+            _cfg(tmp_path, "mid", num_epochs=4, checkpoint_every=2,
+                 cv_parallel="sequential"),
+            dataset=gs,
+        )
+    monkeypatch.setattr(cv_mod.EventLog, "write", orig_write)
+    assert (tmp_path / "epochs_mid" / "MUTAG_1_inflight.npz").exists()
+
+    # resume asking for FEWER epochs than the checkpoint already holds
+    with pytest.raises(ValueError, match="beyond --num_epochs"):
+        run_cross_validation(
+            _cfg(tmp_path, "mid", num_epochs=1, checkpoint_every=2,
+                 cv_parallel="sequential", checkpoint_resume=True),
+            dataset=gs,
+        )

@@ -109,3 +109,25 @@ def test_bench_scaling_mechanics():
     assert [r["mesh"] for r in rows] == ["1,1", "2,1"]
     assert rows[0]["scaling_efficiency_pct"] == 100.0
     assert all(np.isfinite(r["edges_per_s"]) for r in rows)
+
+def test_tensorboard_export_dedupes_replayed_epochs(tmp_path):
+    """--resume replays epochs past the last checkpoint and re-appends
+    their rows; the exporter must keep only the LAST (fold, epoch)
+    occurrence (train/metrics.py consumer caveat)."""
+    import pytest
+
+    pytest.importorskip("tensorboardX")
+    from dgcnn_tpu.train.tensorboard import export_events
+
+    ev = tmp_path / "MUTAG_events.jsonl"
+    row = {"kind": "epoch", "fold": 1, "ts": 1e9, "train_loss": 0.5,
+           "test_loss": 0.6, "train_accuracy": 90.0, "test_accuracy": 85.0,
+           "edges_per_second": 1e8, "epoch_seconds": 0.01}
+    with open(ev, "w") as f:
+        for e in (1, 2, 3):
+            f.write(json.dumps({**row, "epoch": e}) + "\n")
+        # crash + resume replays epochs 2-3 with different values
+        for e in (2, 3):
+            f.write(json.dumps({**row, "epoch": e, "train_loss": 0.1}) + "\n")
+    n = export_events(str(ev), str(tmp_path / "runs"))
+    assert n == 3 * 6  # 3 unique epochs, not 5
