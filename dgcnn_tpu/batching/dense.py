@@ -197,8 +197,16 @@ def build_dense_dataset_on_device(
     return densify_on_device(dev, n_tile, adj_dtype=adj_dtype)
 
 
-def dense_dataset_bytes(dataset: GraphSet, n_tile: int) -> int:
-    return dataset.num_graphs * n_tile * (n_tile + dataset.num_features + 1) * 4
+def dense_dataset_bytes(
+    dataset: GraphSet, n_tile: int, adj_bytes: int = 4
+) -> int:
+    """Device-resident footprint of the dense layout. `adj_bytes` is the
+    per-element width of the adjacency (the G·n_tile² dominant term):
+    2 when Config.adj_dtype resolves to bfloat16, 4 for fp32 — the
+    layout=auto HBM gate must not reject a bf16 config whose dense form
+    fits just because its fp32 estimate would not."""
+    g, f = dataset.num_graphs, dataset.num_features
+    return g * n_tile * (n_tile * adj_bytes + (f + 1) * 4)
 
 
 def order_matrix(order: np.ndarray, batch_size: int, batch_slots: int) -> np.ndarray:

@@ -104,9 +104,17 @@ def choose_layout(cfg: Config, dataset: GraphSet) -> str:
     if cfg.layout != "auto":
         return cfg.layout
     n_tile = dense_tile(dataset)
+    # footprint at the RESOLVED storage widths: bf16 adjacencies (via
+    # adj_dtype or bf16 compute) halve the dominant G·n_tile² term, which
+    # can be the difference between the fast dense path and a demotion
+    adj_bytes = 2 if (
+        cfg.compute_dtype == "bfloat16"
+        or cfg.resolved_adj_dtype() == "bfloat16"
+    ) else 4
     if (
         n_tile <= cfg.dense_max_nodes
-        and dense_dataset_bytes(dataset, n_tile) <= cfg.dense_max_device_bytes
+        and dense_dataset_bytes(dataset, n_tile, adj_bytes)
+        <= cfg.dense_max_device_bytes
     ):
         return "dense"
     from dgcnn_tpu.batching.block_sparse import block_graphset_bytes

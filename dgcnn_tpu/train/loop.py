@@ -16,6 +16,12 @@ Contract parity with the reference loops:
     (train.py:37,45);
   * optimizer update order: backward → step → zero_grad (train.py:40-42) ≡
     a single optax apply_updates.
+
+Every engine layout (host-packed COO, device COO, dense, multi-tile dense,
+block-sparse) shares ONE train-step body and ONE fused multi-epoch scaffold
+(`_fused_run`), parameterized by how a scan element becomes a batch and how
+the model is applied — the update rule and the [k, 4] metric-row contract
+live in exactly one place.
 """
 
 from __future__ import annotations
@@ -26,7 +32,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from dgcnn_tpu.batching.packer import GraphBatch
 from dgcnn_tpu.models.dgcnn import DGCNN, Params, apply
 
 
@@ -42,6 +47,104 @@ def nll_loss_and_correct(
     return loss, correct
 
 
+def _make_step(batch_fn, loss_apply, optimizer):
+    """The one train-step body every engine runs.
+
+    batch_fn(data, x) → batch pytree (x is one scan element — a packed
+    batch, an index row, or a tuple of per-class index rows);
+    loss_apply(params, data, batch, dropout_rng) → (loss, correct).
+    Returns `for_data(data) → step` so the fused runners can close the
+    step over their traced device-resident dataset argument.
+    """
+
+    def for_data(data):
+        def step(carry, x):
+            params, opt_state, rng = carry
+            rng, dropout_rng = jax.random.split(rng)
+            batch = batch_fn(data, x)
+
+            def loss_fn(p):
+                return loss_apply(p, data, batch, dropout_rng)
+
+            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, correct)
+
+        return step
+
+    return for_data
+
+
+def _fused_run(batch_fn, loss_apply, eval_apply, optimizer):
+    """The one fused multi-epoch scaffold: k epochs of train + per-epoch
+    eval as a single jitted program.
+
+        run(params, opt_state, rng, data, epochs_xs, test_xs)
+            → (params, opt_state, rng, rows [k, 4])
+
+    epochs_xs leaves carry [k, steps, ...]; test_xs leaves [t_steps, ...].
+    rows = (train_loss, test_loss, train_correct, test_correct) per epoch —
+    identical values to k sequential per-epoch dispatches (same RNG
+    threading). A statically EMPTY test stream (benchmarks time training
+    only) yields 0-valued eval columns, not the NaN a mean over zero scan
+    outputs would produce.
+    """
+    step_for = _make_step(batch_fn, loss_apply, optimizer)
+
+    @jax.jit
+    def run(params, opt_state, rng, data, epochs_xs, test_xs):
+        has_eval = jax.tree_util.tree_leaves(test_xs)[0].shape[0] > 0  # static
+
+        def epoch(carry, xs):
+            carry, (losses, corrects) = jax.lax.scan(step_for(data), carry, xs)
+            params = carry[0]
+
+            def eval_body(c, x):
+                batch = batch_fn(data, x)
+                return c, eval_apply(params, data, batch)
+
+            if has_eval:
+                _, (te_losses, te_corrects) = jax.lax.scan(
+                    eval_body, None, test_xs
+                )
+                te_loss, te_correct = te_losses.mean(), te_corrects.sum()
+            else:
+                te_loss = te_correct = jnp.float32(0)
+            row = jnp.stack([losses.mean(), te_loss, corrects.sum(), te_correct])
+            return carry, row
+
+        (params, opt_state, rng), rows = jax.lax.scan(
+            epoch, (params, opt_state, rng), epochs_xs
+        )
+        return params, opt_state, rng, rows
+
+    return run
+
+
+def _coo_fns(model: DGCNN, spmm_impl: str):
+    """(batch_fn, loss_apply, eval_apply) for PACKED batches (host COO):
+    the scan element IS the batch; `data` is an unused placeholder."""
+
+    def batch_fn(data, x):
+        return x
+
+    def loss_apply(p, data, batch, dropout_rng):
+        lp = apply(
+            p, model, batch, deterministic=False, dropout_rng=dropout_rng,
+            spmm_impl=spmm_impl,
+        )
+        return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+    def eval_apply(p, data, batch):
+        lp = apply(p, model, batch, deterministic=True, spmm_impl=spmm_impl)
+        return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+    return batch_fn, loss_apply, eval_apply
+
+
 def make_train_epoch(
     model: DGCNN,
     optimizer: optax.GradientTransformation,
@@ -50,27 +153,8 @@ def make_train_epoch(
     """Returns jitted `(params, opt_state, rng, batches) →
     (params, opt_state, rng, mean_loss, correct)` where `batches` is a
     GraphBatch pytree with a leading scan axis."""
-
-    def step(carry, batch: GraphBatch):
-        params, opt_state, rng = carry
-        rng, dropout_rng = jax.random.split(rng)
-
-        def loss_fn(p):
-            lp = apply(
-                p,
-                model,
-                batch,
-                deterministic=False,
-                dropout_rng=dropout_rng,
-                spmm_impl=spmm_impl,
-            )
-            loss, correct = nll_loss_and_correct(lp, batch.y, batch.graph_mask)
-            return loss, correct
-
-        (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state, rng), (loss, correct)
+    batch_fn, loss_apply, _ = _coo_fns(model, spmm_impl)
+    step = _make_step(batch_fn, loss_apply, optimizer)(None)
 
     @jax.jit
     def train_epoch(params, opt_state, rng, batches):
@@ -98,49 +182,12 @@ def make_coo_run(
     Unlike the dense path the epochs' batch data must be shipped to the
     device (batch composition changes with each shuffle), so callers chunk
     k by a transfer/memory budget (train/cv.py CooEngine.run_epochs)."""
+    run = _fused_run(*_coo_fns(model, spmm_impl), optimizer)
 
-    def step(carry, batch: GraphBatch):
-        params, opt_state, rng = carry
-        rng, dropout_rng = jax.random.split(rng)
+    def run_packed(params, opt_state, rng, batches, test_batches):
+        return run(params, opt_state, rng, 0, batches, test_batches)
 
-        def loss_fn(p):
-            lp = apply(
-                p, model, batch, deterministic=False, dropout_rng=dropout_rng,
-                spmm_impl=spmm_impl,
-            )
-            return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
-
-        (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state, rng), (loss, correct)
-
-    @jax.jit
-    def run(params, opt_state, rng, batches, test_batches):
-        def epoch(carry, ebatches):
-            carry, (losses, corrects) = jax.lax.scan(step, carry, ebatches)
-            params = carry[0]
-
-            def eval_body(c, batch):
-                lp = apply(
-                    params, model, batch, deterministic=True, spmm_impl=spmm_impl
-                )
-                return c, nll_loss_and_correct(lp, batch.y, batch.graph_mask)
-
-            _, (te_losses, te_corrects) = jax.lax.scan(
-                eval_body, None, test_batches
-            )
-            row = jnp.stack(
-                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
-            )
-            return carry, row
-
-        (params, opt_state, rng), rows = jax.lax.scan(
-            epoch, (params, opt_state, rng), batches
-        )
-        return params, opt_state, rng, rows
-
-    return run
+    return run_packed
 
 
 def make_multi_dense_run(
@@ -160,62 +207,22 @@ def make_multi_dense_run(
     from dgcnn_tpu.batching.dense import gather_dense_batch
     from dgcnn_tpu.models.dgcnn import apply_multi_dense
 
-    def gather_all(class_data, idx_rows):
+    def batch_fn(class_data, idx_rows):
         return tuple(
             gather_dense_batch(d, r) for d, r in zip(class_data, idx_rows)
         )
 
-    def train_step(class_data):
-        def step(carry, idx_rows):
-            params, opt_state, rng = carry
-            rng, dropout_rng = jax.random.split(rng)
-            batches = gather_all(class_data, idx_rows)
-
-            def loss_fn(p):
-                lp, y, gm = apply_multi_dense(
-                    p, model, batches, deterministic=False,
-                    dropout_rng=dropout_rng,
-                )
-                return nll_loss_and_correct(lp, y, gm)
-
-            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params
-            )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, rng), (loss, correct)
-
-        return step
-
-    @jax.jit
-    def run(params, opt_state, rng, class_data, orders, test_orders):
-        def epoch(carry, order_step):
-            carry, (losses, corrects) = jax.lax.scan(
-                train_step(class_data), carry, order_step
-            )
-            params = carry[0]
-
-            def eval_body(c, idx_rows):
-                lp, y, gm = apply_multi_dense(
-                    params, model, gather_all(class_data, idx_rows),
-                    deterministic=True,
-                )
-                return c, nll_loss_and_correct(lp, y, gm)
-
-            _, (te_losses, te_corrects) = jax.lax.scan(
-                eval_body, None, test_orders
-            )
-            row = jnp.stack(
-                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
-            )
-            return carry, row
-
-        (params, opt_state, rng), rows = jax.lax.scan(
-            epoch, (params, opt_state, rng), orders
+    def loss_apply(p, class_data, batches, dropout_rng):
+        lp, y, gm = apply_multi_dense(
+            p, model, batches, deterministic=False, dropout_rng=dropout_rng
         )
-        return params, opt_state, rng, rows
+        return nll_loss_and_correct(lp, y, gm)
 
-    return run
+    def eval_apply(p, class_data, batches):
+        lp, y, gm = apply_multi_dense(p, model, batches, deterministic=True)
+        return nll_loss_and_correct(lp, y, gm)
+
+    return _fused_run(batch_fn, loss_apply, eval_apply, optimizer)
 
 
 def make_device_coo_run(
@@ -235,57 +242,21 @@ def make_device_coo_run(
     """
     from dgcnn_tpu.batching.device_coo import gather_coo_batch
 
-    def train_step(dev):
-        def step(carry, idx_row):
-            params, opt_state, rng = carry
-            rng, dropout_rng = jax.random.split(rng)
-            batch = gather_coo_batch(dev, idx_row, bucket)
+    def batch_fn(dev, idx_row):
+        return gather_coo_batch(dev, idx_row, bucket)
 
-            def loss_fn(p):
-                lp = apply(
-                    p, model, batch, deterministic=False,
-                    dropout_rng=dropout_rng, spmm_impl=spmm_impl,
-                )
-                return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
-
-            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params
-            )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, rng), (loss, correct)
-
-        return step
-
-    @jax.jit
-    def run(params, opt_state, rng, dev, order3d, test_order2d):
-        def epoch(carry, order2d):
-            carry, (losses, corrects) = jax.lax.scan(
-                train_step(dev), carry, order2d
-            )
-            params = carry[0]
-
-            def eval_body(c, idx_row):
-                batch = gather_coo_batch(dev, idx_row, bucket)
-                lp = apply(
-                    params, model, batch, deterministic=True, spmm_impl=spmm_impl
-                )
-                return c, nll_loss_and_correct(lp, batch.y, batch.graph_mask)
-
-            _, (te_losses, te_corrects) = jax.lax.scan(
-                eval_body, None, test_order2d
-            )
-            row = jnp.stack(
-                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
-            )
-            return carry, row
-
-        (params, opt_state, rng), rows = jax.lax.scan(
-            epoch, (params, opt_state, rng), order3d
+    def loss_apply(p, dev, batch, dropout_rng):
+        lp = apply(
+            p, model, batch, deterministic=False, dropout_rng=dropout_rng,
+            spmm_impl=spmm_impl,
         )
-        return params, opt_state, rng, rows
+        return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
 
-    return run
+    def eval_apply(p, dev, batch):
+        lp = apply(p, model, batch, deterministic=True, spmm_impl=spmm_impl)
+        return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+    return _fused_run(batch_fn, loss_apply, eval_apply, optimizer)
 
 
 def make_block_run(
@@ -307,75 +278,55 @@ def make_block_run(
     from dgcnn_tpu.batching.block_sparse import gather_block_batch
     from dgcnn_tpu.models.dgcnn import apply_block
 
-    def train_step(dev):
-        def step(carry, idx_row):
-            params, opt_state, rng = carry
-            rng, dropout_rng = jax.random.split(rng)
-            batch = gather_block_batch(dev, idx_row, nb_budget, w_budget)
+    def batch_fn(dev, idx_row):
+        return gather_block_batch(dev, idx_row, nb_budget, w_budget)
 
-            def loss_fn(p):
-                lp = apply_block(
-                    p, model, batch, dev.pool, deterministic=False,
-                    dropout_rng=dropout_rng, block_impl=block_impl,
-                )
-                return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
-
-            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params
-            )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, rng), (loss, correct)
-
-        return step
-
-    @jax.jit
-    def run(params, opt_state, rng, dev, order3d, test_order2d):
-        def epoch(carry, order2d):
-            carry, (losses, corrects) = jax.lax.scan(
-                train_step(dev), carry, order2d
-            )
-            params = carry[0]
-
-            def eval_body(c, idx_row):
-                batch = gather_block_batch(dev, idx_row, nb_budget, w_budget)
-                lp = apply_block(
-                    params, model, batch, dev.pool, block_impl=block_impl
-                )
-                return c, nll_loss_and_correct(lp, batch.y, batch.graph_mask)
-
-            _, (te_losses, te_corrects) = jax.lax.scan(
-                eval_body, None, test_order2d
-            )
-            row = jnp.stack(
-                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
-            )
-            return carry, row
-
-        (params, opt_state, rng), rows = jax.lax.scan(
-            epoch, (params, opt_state, rng), order3d
+    def loss_apply(p, dev, batch, dropout_rng):
+        lp = apply_block(
+            p, model, batch, dev.pool, deterministic=False,
+            dropout_rng=dropout_rng, block_impl=block_impl,
         )
-        return params, opt_state, rng, rows
+        return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
 
-    return run
+    def eval_apply(p, dev, batch):
+        lp = apply_block(p, model, batch, dev.pool, block_impl=block_impl)
+        return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+    return _fused_run(batch_fn, loss_apply, eval_apply, optimizer)
 
 
 def make_eval_epoch(model: DGCNN, spmm_impl: str = "xla") -> Callable:
     """Returns jitted `(params, batches) → (mean_loss, correct)` — the
     equivalent of the reference `test()` (train.py:49-66): eval mode
     (dropout off), no grad."""
+    _, _, eval_apply = _coo_fns(model, spmm_impl)
 
     @jax.jit
     def eval_epoch(params: Params, batches):
         def body(carry, batch):
-            lp = apply(params, model, batch, deterministic=True, spmm_impl=spmm_impl)
-            loss, correct = nll_loss_and_correct(lp, batch.y, batch.graph_mask)
-            return carry, (loss, correct)
+            return carry, eval_apply(params, None, batch)
 
         _, (losses, corrects) = jax.lax.scan(body, None, batches)
         return losses.mean(), corrects.sum()
 
     return eval_epoch
+
+
+def _dense_fns(model: DGCNN):
+    from dgcnn_tpu.batching.dense import gather_dense_batch
+
+    def batch_fn(data, idx_row):
+        return gather_dense_batch(data, idx_row)
+
+    def loss_apply(p, data, batch, dropout_rng):
+        lp = apply(p, model, batch, deterministic=False, dropout_rng=dropout_rng)
+        return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+    def eval_apply(p, data, batch):
+        lp = apply(p, model, batch, deterministic=True)
+        return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+    return batch_fn, loss_apply, eval_apply
 
 
 def make_dense_gather_epochs(
@@ -390,40 +341,20 @@ def make_dense_gather_epochs(
             → (params, opt_state, rng, mean_loss, correct)
         eval_epoch(params, data, order2d) → (mean_loss, correct)
     """
-    from dgcnn_tpu.batching.dense import gather_dense_batch
-
-    def train_step(data):
-        def step(carry, idx_row):
-            params, opt_state, rng = carry
-            rng, dropout_rng = jax.random.split(rng)
-            batch = gather_dense_batch(data, idx_row)
-
-            def loss_fn(p):
-                lp = apply(
-                    p, model, batch, deterministic=False, dropout_rng=dropout_rng
-                )
-                return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
-
-            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, rng), (loss, correct)
-
-        return step
+    batch_fn, loss_apply, eval_apply = _dense_fns(model)
+    step_for = _make_step(batch_fn, loss_apply, optimizer)
 
     @jax.jit
     def train_epoch(params, opt_state, rng, data, order2d):
         (params, opt_state, rng), (losses, corrects) = jax.lax.scan(
-            train_step(data), (params, opt_state, rng), order2d
+            step_for(data), (params, opt_state, rng), order2d
         )
         return params, opt_state, rng, losses.mean(), corrects.sum()
 
     @jax.jit
     def eval_epoch(params, data, order2d):
         def body(carry, idx_row):
-            batch = gather_dense_batch(data, idx_row)
-            lp = apply(params, model, batch, deterministic=True)
-            return carry, nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+            return carry, eval_apply(params, data, batch_fn(data, idx_row))
 
         _, (losses, corrects) = jax.lax.scan(body, None, order2d)
         return losses.mean(), corrects.sum()
@@ -452,50 +383,4 @@ def make_dense_gather_run(
     (train_loss, test_loss, train_correct, test_correct) per epoch —
     identical values to k sequential train_epoch/eval_epoch calls.
     """
-    from dgcnn_tpu.batching.dense import gather_dense_batch
-
-    def train_step(data):
-        def step(carry, idx_row):
-            params, opt_state, rng = carry
-            rng, dropout_rng = jax.random.split(rng)
-            batch = gather_dense_batch(data, idx_row)
-
-            def loss_fn(p):
-                lp = apply(
-                    p, model, batch, deterministic=False, dropout_rng=dropout_rng
-                )
-                return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
-
-            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, rng), (loss, correct)
-
-        return step
-
-    @jax.jit
-    def run(params, opt_state, rng, data, order3d, test_order2d):
-        def epoch(carry, order2d):
-            (params, opt_state, rng), (losses, corrects) = jax.lax.scan(
-                train_step(data), carry, order2d
-            )
-
-            def eval_body(c, idx_row):
-                batch = gather_dense_batch(data, idx_row)
-                lp = apply(params, model, batch, deterministic=True)
-                return c, nll_loss_and_correct(lp, batch.y, batch.graph_mask)
-
-            _, (te_losses, te_corrects) = jax.lax.scan(
-                eval_body, None, test_order2d
-            )
-            row = jnp.stack(
-                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
-            )
-            return (params, opt_state, rng), row
-
-        (params, opt_state, rng), rows = jax.lax.scan(
-            epoch, (params, opt_state, rng), order3d
-        )
-        return params, opt_state, rng, rows
-
-    return run
+    return _fused_run(*_dense_fns(model), optimizer)
