@@ -134,14 +134,16 @@ def load_dataset(
         # the real cache path, so adding real data later wins), keyed by
         # the generator VERSION so a generator change invalidates stale
         # caches — regeneration is O(10s) for COLLAB/DD
+        attr_tag = "" if use_node_attr else "_noattr"
         synth_cache = os.path.join(
-            root, name, "processed", f"{name}_synthetic_v{SYNTHETIC_VERSION}.npz"
+            root, name, "processed",
+            f"{name}_synthetic_v{SYNTHETIC_VERSION}{attr_tag}.npz",
         )
         if os.path.exists(synth_cache):
             return GraphSet.from_npz(synth_cache), DatasetMeta(
                 name, "synthetic", synth_cache
             )
-        gs = synthesize_tu_dataset(name)
+        gs = synthesize_tu_dataset(name, use_node_attr=use_node_attr)
         try:
             os.makedirs(os.path.dirname(synth_cache), exist_ok=True)
             gs.to_npz(synth_cache)

@@ -83,7 +83,15 @@ def load_bundled_folds(
         if not all(tr in z and te in z for tr, te in keys):
             return None
         folds = [(z[tr], z[te]) for tr, te in keys]
+    # reject unless the folds COVER this dataset: indices in range AND
+    # every graph present in some fold (a larger synthetic dataset would
+    # otherwise silently run CV on a prefix of itself). Coverage is over
+    # train ∪ test — the reference's own 10fold_idx files leave a few
+    # graphs out of every TEST fold (MUTAG: 180/188) but none out of both.
     if max(int(arr.max()) for pair in folds for arr in pair) >= num_graphs:
+        return None
+    covered = np.unique(np.concatenate([a for pair in folds for a in pair]))
+    if len(covered) != num_graphs:
         return None
     return folds
 

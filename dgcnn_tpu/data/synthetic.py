@@ -28,7 +28,7 @@ from dgcnn_tpu.data.tu_parser import assemble_features
 
 # bump whenever generated output changes — the synthetic npz cache filename
 # embeds it, so stale caches from an older generator never get loaded
-SYNTHETIC_VERSION = 2
+SYNTHETIC_VERSION = 3
 
 # Shape statistics of the eight reference benchmarks (graph/class counts:
 # reference README.md:62-83; feature decomposition: README.md:84-94 and
@@ -131,16 +131,22 @@ def _sample_two_block(rng: np.random.Generator, n: int, target_m: int,
 
 
 def synthesize_tu_dataset(
-    name: str, num_graphs: Optional[int] = None, seed: int = 0
+    name: str, num_graphs: Optional[int] = None, seed: int = 0,
+    use_node_attr: bool = True,
 ) -> GraphSet:
     """Generate a profile-shaped synthetic dataset. `num_graphs=None` uses
-    the benchmark's real graph count (for bench/full-run shapes)."""
+    the benchmark's real graph count (for bench/full-run shapes).
+    `use_node_attr=False` drops continuous attr columns, mirroring
+    parse_tu_dir's flag so the synthetic feature width matches what the
+    same config sees on real data."""
     if name not in PROFILES:
         raise KeyError(f"unknown profile {name!r}; have {sorted(PROFILES)}")
     p = PROFILES[name]
     g = p["num_graphs"] if num_graphs is None else int(num_graphs)
     c = p["num_classes"]
     n_labels, n_attrs = p["num_node_labels"], p["num_attrs"]
+    if not use_node_attr:
+        n_attrs = 0
     rng = np.random.default_rng(
         np.random.SeedSequence([seed, sorted(PROFILES).index(name)])
     )
@@ -160,8 +166,14 @@ def synthesize_tu_dataset(
         size_mu = p["avg_nodes"] * (
             (1.0 + 0.2 * (float(y[i]) - (c - 1) / 2.0)) if degree_only else 1.0
         )
+        # lognormal(mu, sigma) has MEAN exp(mu + sigma^2/2): subtract
+        # sigma^2/2 so size_mu is the distribution's mean, as the profile
+        # table documents (avg_nodes) — log(size_mu) alone makes it the
+        # median and overshoots the mean by exp(sigma^2/2) (DD: +38%)
         n = int(np.clip(
-            round(rng.lognormal(np.log(size_mu), p["sigma"])),
+            round(rng.lognormal(
+                np.log(size_mu) - p["sigma"] ** 2 / 2.0, p["sigma"]
+            )),
             5, p["max_nodes"],
         ))
         # planted signal: class shifts edge density ±25%

@@ -157,7 +157,10 @@ def sddmm_xla(
     `out[e] = ⟨a[src[e]], b[dst[e]]⟩` — torch-sparse's SDDMM (reference
     README.md:18; in this model it is the edge-weight cotangent of the
     SpMM backward). Gather formulation: two row gathers + a row reduce."""
-    return (jnp.take(a, edge_src, axis=0) * jnp.take(b, edge_dst, axis=0)).sum(-1)
+    out = (jnp.take(a, edge_src, axis=0) * jnp.take(b, edge_dst, axis=0)).sum(-1)
+    # fp32 like sddmm_onehot: impl="auto" flips between the two on shape
+    # gates, and the spmm_pallas custom-VJP needs an fp32 edge cotangent
+    return out.astype(jnp.promote_types(a.dtype, jnp.float32))
 
 
 def sddmm_onehot(
@@ -243,6 +246,13 @@ def spmm(
         # misaligned edge streams (e.g. per-shard chunks of an
         # edge-partitioned mesh) degrade to the segment-sum path, the same
         # graceful-fallback contract as impl="pallas"
+        out = spmm_xla(edge_src, edge_dst, edge_weight, h, num_nodes)
+    elif impl == "pallas" and jax.default_backend() not in ("tpu", "axon") and (
+        jax.typeof(h).vma
+    ):
+        # the pallas HLO interpreter cannot run inside shard_map's vma
+        # checker (same JAX rough edge models/dgcnn.py apply_block
+        # documents) — non-TPU mesh traces degrade to the segment-sum path
         out = spmm_xla(edge_src, edge_dst, edge_weight, h, num_nodes)
     elif impl == "pallas":
         from dgcnn_tpu.kernels.spmm_pallas import (

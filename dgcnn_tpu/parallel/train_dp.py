@@ -138,6 +138,13 @@ def _make_dense_dp_loss(model: DGCNN, mesh: Mesh, deterministic: bool) -> Callab
         out_specs=(P(), P()),
     )
     def f(params, data, idx_row, rng):
+        if idx_row.shape[0] != 1:
+            raise ValueError(
+                f"per-device order block has {idx_row.shape[0]} rows; the "
+                "order matrix must carry exactly mesh-data-axis rows per "
+                "step (parallel/shard.py local_view) — extra rows would be "
+                "silently dropped"
+            )
         batch = gather_dense_batch(data, idx_row[0])
         dropout_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         lp = apply(
@@ -228,6 +235,11 @@ def _make_fused_dp_run(
             params = optax.apply_updates(params, updates)
             return (params, opt_state, rng), (loss, correct)
 
+        # statically empty test stream (train-only benchmarking): eval
+        # columns are 0, not a NaN mean over zero scan outputs — the same
+        # contract as the single-chip twin (train/loop.py _fused_run)
+        has_eval = jax.tree_util.tree_leaves(test_orders)[0].shape[0] > 0
+
         def epoch(carry, epoch_orders):
             carry, (losses, corrects) = jax.lax.scan(
                 train_step, carry, epoch_orders
@@ -237,12 +249,14 @@ def _make_fused_dp_run(
             def eval_body(c, xs):
                 return c, eval_loss(params, data, xs, dummy)
 
-            _, (te_losses, te_corrects) = jax.lax.scan(
-                eval_body, None, test_orders
-            )
-            row = jnp.stack(
-                [losses.mean(), te_losses.mean(), corrects.sum(), te_corrects.sum()]
-            )
+            if has_eval:
+                _, (te_losses, te_corrects) = jax.lax.scan(
+                    eval_body, None, test_orders
+                )
+                te_loss, te_correct = te_losses.mean(), te_corrects.sum()
+            else:
+                te_loss = te_correct = jnp.float32(0)
+            row = jnp.stack([losses.mean(), te_loss, corrects.sum(), te_correct])
             return carry, row
 
         (params, opt_state, rng), rows = jax.lax.scan(
@@ -298,6 +312,13 @@ def _make_device_coo_dp_loss(model: DGCNN, mesh: Mesh, bucket, spmm_impl: str,
         # (node arrays are replicated; materializing all e_pad edges and
         # slicing would do n_graph× the assembly work per device)
         gi = jax.lax.axis_index("graph")
+        if idx_row.shape[0] != 1:
+            raise ValueError(
+                f"per-device order block has {idx_row.shape[0]} rows; the "
+                "order matrix must carry exactly mesh-data-axis rows per "
+                "step (parallel/shard.py local_view) — extra rows would be "
+                "silently dropped"
+            )
         local = gather_coo_batch(
             dev, idx_row[0], bucket, edge_window=(gi * chunk, chunk)
         )
@@ -356,6 +377,13 @@ def _make_block_dp_loss(model: DGCNN, mesh: Mesh, nb_budget: int,
         out_specs=(P(), P()),
     )
     def f(params, dev, idx_row, rng):
+        if idx_row.shape[0] != 1:
+            raise ValueError(
+                f"per-device order block has {idx_row.shape[0]} rows; the "
+                "order matrix must carry exactly mesh-data-axis rows per "
+                "step (parallel/shard.py local_view) — extra rows would be "
+                "silently dropped"
+            )
         batch = gather_block_batch(dev, idx_row[0], nb_budget, w_budget)
         dropout_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         lp = apply_block(

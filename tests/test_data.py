@@ -253,3 +253,44 @@ def test_parse_real_tu_quirks(tmp_path):
     # g1's node 0; edges in g1: (3,3),(4,3),(3,4) → local (0,0),(1,0),(0,1)
     # in-deg local = [2,1], max 2 → [1.0, 0.5]
     np.testing.assert_allclose(gs.x[2:, 4], [1.0, 0.5])
+
+
+def test_bundled_folds_rejected_for_larger_dataset():
+    """A dataset LARGER than the real benchmark must not silently adopt
+    bundled folds that never cover its extra graphs (index range alone is
+    not enough — the folds must partition the dataset)."""
+    from dgcnn_tpu.data.folds import load_bundled_folds
+
+    assert load_bundled_folds("MUTAG", 10, 188) is not None
+    assert load_bundled_folds("MUTAG", 10, 376) is None
+
+
+def test_synthetic_mean_nodes_matches_profile():
+    """size_mu is the lognormal's MEAN (mu = log(avg) - sigma^2/2), so the
+    generated node counts track the profile's avg_nodes — not overshoot it
+    by exp(sigma^2/2) (+38% on DD's sigma=0.8)."""
+    from dgcnn_tpu.data.synthetic import PROFILES, synthesize_tu_dataset
+
+    for name in ("DD", "NCI1"):
+        gs = synthesize_tu_dataset(name, seed=1)
+        got = float(np.diff(gs.node_ptr).mean())
+        want = PROFILES[name]["avg_nodes"]
+        # clipping at [5, max_nodes] biases slightly; 15% tolerance is far
+        # inside the +38% median-as-mean error this pins against
+        assert abs(got - want) / want < 0.15, (name, got, want)
+
+
+def test_synthetic_respects_use_node_attr(tmp_path):
+    """use_node_attr=False must drop attr columns on the SYNTHETIC path
+    too, and cache separately (the real path's _noattr suffix analogue)."""
+    from dgcnn_tpu.data.datasets import load_dataset
+
+    gs_with, _ = load_dataset(
+        "PROTEINS", root=str(tmp_path), allow_download=False,
+        allow_synthetic=True, use_node_attr=True,
+    )
+    gs_without, _ = load_dataset(
+        "PROTEINS", root=str(tmp_path), allow_download=False,
+        allow_synthetic=True, use_node_attr=False,
+    )
+    assert gs_with.num_features == gs_without.num_features + 1  # 1 attr col
