@@ -66,6 +66,14 @@ def plan_tiles(
 
 def build_routing(node_counts: np.ndarray, tiles: Sequence[int]) -> MultiDenseRouting:
     nc = np.asarray(node_counts)
+    if len(nc) and int(nc.max()) > int(tiles[-1]):
+        # searchsorted would assign class len(tiles): the graph belongs to
+        # no tile and route_order_rows would silently drop it from every
+        # batch — a protocol violation with no diagnostic
+        raise ValueError(
+            f"largest graph has {int(nc.max())} nodes > top tile "
+            f"{int(tiles[-1])}; tiles must cover every graph"
+        )
     class_of = np.searchsorted(np.asarray(tiles), nc, side="left").astype(np.int32)
     index_in_class = np.zeros(len(nc), dtype=np.int32)
     for c in range(len(tiles)):

@@ -120,7 +120,6 @@ def pack_batch(
         raise ValueError(f"{b} graphs > bucket.num_graphs={bucket.num_graphs}")
 
     n_counts = dataset.node_counts()[idx]
-    e_counts = dataset.edge_counts()[idx]
     n_tot = int(n_counts.sum())
     if n_tot > bucket.num_nodes:
         raise ValueError(f"{n_tot} nodes > bucket.num_nodes={bucket.num_nodes}")

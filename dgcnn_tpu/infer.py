@@ -69,15 +69,25 @@ def load_fold_params(checkpoint: str, model: DGCNN) -> Params:
     opt_state) and raw params bundles."""
     import optax
 
+    from dgcnn_tpu.train.flat_opt import flatten_optimizer
+
     like_params = init_params(jax.random.PRNGKey(0), model)
-    like = {
-        "params": like_params,
-        "opt_state": optax.adam(1e-3).init(like_params),
-    }
-    try:
-        return load_checkpoint(checkpoint, like)["params"]
-    except (KeyError, ValueError):
-        return load_checkpoint(checkpoint, like_params)
+    donors = [
+        {"params": like_params, "opt_state": optax.adam(1e-3).init(like_params)},
+        # --opt_flatten runs carry a raveled-vector Adam state
+        {"params": like_params,
+         "opt_state": flatten_optimizer(optax.adam(1e-3)).init(like_params)},
+        like_params,  # raw params bundle
+    ]
+    err = None
+    for like in donors:
+        try:
+            out = load_checkpoint(checkpoint, like)
+        except (KeyError, ValueError) as e:
+            err = e
+            continue
+        return out["params"] if isinstance(out, dict) and "params" in out else out
+    raise err
 
 
 def main(argv=None):

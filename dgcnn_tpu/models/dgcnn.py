@@ -461,9 +461,9 @@ def apply_block(
         if (pool.dtype == jnp.bfloat16 or dt == jnp.bfloat16)
         else dt
     )
-    if block_impl == "pallas" and jax.default_backend() != "tpu" and (
-        jax.typeof(batch.x).vma
-    ):
+    on_tpu = jax.default_backend() in ("tpu", "axon")  # axon = the
+    # remote-attached TPU platform plugin; Mosaic compiles there too
+    if block_impl == "pallas" and not on_tpu and jax.typeof(batch.x).vma:
         # the pallas HLO interpreter cannot run inside shard_map's vma
         # checker (internal dynamic_slice trips it — a JAX rough edge), so
         # virtual-mesh CPU runs (tests, dryrun_multichip) route to the
@@ -480,7 +480,7 @@ def apply_block(
     if block_impl == "pallas":
         from dgcnn_tpu.kernels.block_pallas import block_propagate_pallas
 
-        interpret = jax.default_backend() != "tpu"
+        interpret = not on_tpu
         blocks = None
     else:
         blocks = pool[batch.item_pool].astype(prop_dt)  # [W, bs, bs]

@@ -225,7 +225,7 @@ def run_cv_folds_vmap(
     run = make_dense_vmap_run(model, optimizer)
     metrics_f = [FoldMetrics() for _ in range(F)]
     train_edges_f = [
-        int(dataset.subset(tr).total_edges) for tr in train_idx_f
+        int(dataset.edge_counts()[np.asarray(tr)].sum()) for tr in train_idx_f
     ]
 
     epoch = 1

@@ -36,8 +36,13 @@ def save_checkpoint(path: str, bundle: Any) -> None:
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path + ".npz")
-    with open(path + ".treedef.json", "w") as f:
+    # the manifest is temp+renamed too: a kill mid-write must never leave
+    # a TORN json next to a valid .npz (load would crash on JSONDecodeError
+    # instead of reporting a clean leaf-count mismatch)
+    tmp_manifest = path + ".tmp.treedef.json"
+    with open(tmp_manifest, "w") as f:
         json.dump({"treedef": str(treedef), "num_leaves": len(leaves)}, f)
+    os.replace(tmp_manifest, path + ".treedef.json")
 
 
 def load_checkpoint(path: str, like: Any) -> Any:

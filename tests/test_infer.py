@@ -61,3 +61,28 @@ def test_infer_cli(tmp_path, capsys):
     lines = out_csv.read_text().strip().splitlines()
     assert lines[0] == "graph,predicted_label,confidence,true_label"
     assert len(lines) == 188 + 1  # full synthetic MUTAG profile
+
+
+def test_load_fold_params_from_opt_flatten_checkpoint(tmp_path):
+    """Checkpoints written by --opt_flatten runs carry a raveled-vector
+    Adam state; the inference loader must still reach their params."""
+    import jax
+    import optax
+
+    from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
+    from dgcnn_tpu.infer import load_fold_params
+    from dgcnn_tpu.models.dgcnn import DGCNN, init_params
+    from dgcnn_tpu.train.flat_opt import flatten_optimizer
+    from dgcnn_tpu.utils.checkpoint import save_checkpoint
+
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=12, seed=0)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    params = init_params(jax.random.PRNGKey(3), model)
+    opt = flatten_optimizer(optax.adam(1e-3))
+    path = str(tmp_path / "MUTAG_1")
+    save_checkpoint(path, {"params": params, "opt_state": opt.init(params)})
+
+    loaded = load_fold_params(path, model)
+    got = jax.tree_util.tree_leaves(loaded)
+    want = jax.tree_util.tree_leaves(params)
+    assert all(np.array_equal(a, b) for a, b in zip(got, want))

@@ -155,3 +155,14 @@ def test_multi_cv_runs_and_learns(tmp_path):
     result = run_cross_validation(cfg, dataset=gs)
     assert len(result["test_accuracies"]) == 2
     assert result["train_accuracy_mean"] > 60.0
+
+
+def test_build_routing_rejects_uncovered_graphs():
+    """Graphs larger than the top tile must raise, not silently vanish
+    from every batch."""
+    import pytest
+
+    from dgcnn_tpu.batching.multi_dense import build_routing
+
+    with pytest.raises(ValueError, match="tiles must cover"):
+        build_routing(np.array([100, 600]), (256, 512))

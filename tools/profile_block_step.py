@@ -181,7 +181,7 @@ def main(argv=None):
     if args.block_impl == "pallas":
         from dgcnn_tpu.kernels.block_pallas import block_propagate_pallas
 
-        interp = jax.default_backend() != "tpu"
+        interp = jax.default_backend() not in ("tpu", "axon")
 
         def _prop(hb):
             return block_propagate_pallas(
