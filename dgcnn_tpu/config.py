@@ -187,8 +187,10 @@ class Config:
             return self.adj_dtype
         import jax
 
-        d = jax.devices()[0]
-        on_tpu = "tpu" in d.platform.lower() or "tpu" in d.device_kind.lower()
+        # canonical backend check (ops/spmm.py, models/dgcnn.py): the
+        # remote-attached TPU registers as backend "axon", and its
+        # device_kind string is not guaranteed to contain "tpu"
+        on_tpu = jax.default_backend() in ("tpu", "axon")
         return "bfloat16" if on_tpu else "float32"
 
     def __post_init__(self):
@@ -198,6 +200,14 @@ class Config:
             )
         if self.spmm_impl not in ("auto", "xla", "onehot", "pallas"):
             raise ValueError(f"unknown spmm_impl {self.spmm_impl!r}")
+        if (
+            len(self.mesh_shape) != 2
+            or any(int(d) < 1 for d in self.mesh_shape)
+        ):
+            raise ValueError(
+                f"mesh_shape must be two positive ints (data, graph); got "
+                f"{self.mesh_shape!r}"
+            )
         if self.layout not in ("auto", "coo", "dense", "multi", "block"):
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):

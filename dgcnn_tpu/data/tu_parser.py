@@ -33,11 +33,16 @@ from dgcnn_tpu.data.graphset import GraphSet
 
 
 def _one_hot(labels: np.ndarray) -> np.ndarray:
-    """One-hot over the sorted unique label values (PyG maps arbitrary
-    node-label ints to contiguous columns the same way)."""
-    uniq, inv = np.unique(labels, return_inverse=True)
-    out = np.zeros((len(labels), len(uniq)), dtype=np.float32)
-    out[np.arange(len(labels)), inv] = 1.0
+    """One-hot with PyG's exact semantics (read_tu_data): min-shift, then
+    one column per value in [0, max-min] — NON-OCCURRING intermediate
+    labels still get (all-zero) columns, so the feature width is
+    max-min+1, not the number of distinct values. The 8 reference
+    datasets have contiguous label sets, where both definitions agree;
+    this keeps the parity contract for arbitrary TU datasets too."""
+    shifted = np.asarray(labels) - int(np.min(labels))
+    width = int(shifted.max()) + 1
+    out = np.zeros((len(labels), width), dtype=np.float32)
+    out[np.arange(len(labels)), shifted] = 1.0
     return out
 
 

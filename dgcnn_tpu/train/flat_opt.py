@@ -14,7 +14,8 @@ tests/test_train.py::test_flat_adam_matches_per_leaf_adam.
 
 Note the optimizer STATE becomes vector-shaped (mu/nu [P]), so resume
 bundles written with one setting do not load under the other
-(utils/checkpoint.py validates leaf shapes and fails loudly).
+(utils/checkpoint.py validates the bundle's leaf COUNT and fails
+loudly — the flattened state has a different count than per-leaf Adam).
 """
 
 from __future__ import annotations

@@ -36,9 +36,19 @@ def render_curves(statistics_dir: str, data_type: str, out_path: str = "") -> st
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    # filter by the same regex the sort key uses: the glob alone also
+    # admits names like <DS>_results_1_old.csv, whose non-match would
+    # crash .group(1)
+    pat = re.compile(r"_(\d+)\.csv$")
     paths = sorted(
-        glob.glob(os.path.join(statistics_dir, f"{data_type}_results_[0-9]*.csv")),
-        key=lambda p: int(re.search(r"_(\d+)\.csv$", p).group(1)),
+        (
+            p
+            for p in glob.glob(
+                os.path.join(statistics_dir, f"{data_type}_results_[0-9]*.csv")
+            )
+            if pat.search(p)
+        ),
+        key=lambda p: int(pat.search(p).group(1)),
     )
     if not paths:
         raise FileNotFoundError(
@@ -51,11 +61,11 @@ def render_curves(statistics_dir: str, data_type: str, out_path: str = "") -> st
         ("test_loss", "Test Loss", "NLL Loss"),
         ("test_accuracy", "Test Accuracy", "%"),
     ]
+    # parse each fold CSV once, not once per panel
+    parsed = [(pat.search(p).group(1), _read_fold_csv(p)) for p in paths]
     fig, axes = plt.subplots(2, 2, figsize=(12, 8))
     for ax, (col, title, ylabel) in zip(axes.ravel(), panels):
-        for path in paths:
-            fold = re.search(r"_(\d+)\.csv$", path).group(1)
-            rows = _read_fold_csv(path)
+        for fold, rows in parsed:
             ax.plot(range(1, len(rows[col]) + 1), rows[col], label=f"Fold_{fold}",
                     linewidth=1.0)
         ax.set_title(title)

@@ -7,17 +7,22 @@ reference train.py:129) and never loads them — no resume path exists
 the exact fold/epoch boundary.
 
 Storage is a single .npz of flattened pytree leaves plus a JSON treedef
-manifest — dependency-light, atomic (write-temp-then-rename), and readable
-without the framework. An orbax backend can be slotted in behind the same
-three functions if multi-host async checkpointing is ever needed at this
-model size (52k params).
+manifest — dependency-light, atomic (every file write-temp-then-rename,
+manifest BEFORE data so a crash between the two renames pairs the new
+manifest with the previous valid .npz rather than a new .npz with no
+guard), and readable without the framework. Validation is by leaf COUNT,
+not shapes: resume bundles legitimately carry variable-length leaves
+(the in-flight metric arrays) that the donor declares as length-0
+placeholders. An orbax backend can be slotted in behind the same three
+functions if multi-host async checkpointing is ever needed at this model
+size (52k params).
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import numpy as np
@@ -33,16 +38,19 @@ def save_checkpoint(path: str, bundle: Any) -> None:
     leaves, treedef = _flatten_with_paths(bundle)
     arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp.npz"
-    np.savez(tmp, **arrays)
-    os.replace(tmp, path + ".npz")
-    # the manifest is temp+renamed too: a kill mid-write must never leave
-    # a TORN json next to a valid .npz (load would crash on JSONDecodeError
-    # instead of reporting a clean leaf-count mismatch)
+    # manifest FIRST: if the process dies between the two renames, the new
+    # manifest sits next to the PREVIOUS (still valid) .npz — for periodic
+    # checkpoints of the same bundle kind that pair loads cleanly, and a
+    # kind change surfaces as the leaf-count ValueError. The old order
+    # (npz first) could leave a fresh .npz with a stale or absent
+    # manifest, silently skipping the structure guard on resume.
     tmp_manifest = path + ".tmp.treedef.json"
     with open(tmp_manifest, "w") as f:
         json.dump({"treedef": str(treedef), "num_leaves": len(leaves)}, f)
     os.replace(tmp_manifest, path + ".treedef.json")
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path + ".npz")
 
 
 def load_checkpoint(path: str, like: Any) -> Any:
@@ -50,7 +58,9 @@ def load_checkpoint(path: str, like: Any) -> Any:
     the same structure) as the structure donor. Raises ValueError when the
     on-disk bundle's leaf count disagrees with `like` — positional leaf
     loading would otherwise silently scramble a structurally different
-    bundle into the donor tree."""
+    bundle into the donor tree. The count is checked against the npz
+    itself as well as the manifest, so a missing manifest cannot skip the
+    guard."""
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     manifest = path + ".treedef.json"
     if os.path.exists(manifest):
@@ -62,6 +72,12 @@ def load_checkpoint(path: str, like: Any) -> Any:
                 f"{len(leaves_like)} — wrong bundle kind for this donor"
             )
     with np.load(path + ".npz") as z:
+        keys = [k for k in z.files if k.startswith("leaf_")]
+        if len(keys) != len(leaves_like):
+            raise ValueError(
+                f"{path}: checkpoint npz has {len(keys)} leaves, expected "
+                f"{len(leaves_like)} — wrong bundle kind for this donor"
+            )
         leaves = [z[f"leaf_{i}"] for i in range(len(leaves_like))]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

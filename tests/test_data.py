@@ -242,17 +242,19 @@ def test_parse_real_tu_quirks(tmp_path):
     assert gs.num_graphs == 2
     assert gs.num_classes == 2
     np.testing.assert_array_equal(gs.y, [0, 1])  # {-1,6} → {0,1}
-    # features: 2 attrs + one-hot over {2,7} (2 bins) + degree = 5
-    assert gs.num_features == 5
+    # features: 2 attrs + one-hot over [2..7] min-shifted (6 bins, PyG's
+    # read_tu_data keeps all-zero columns for non-occurring labels) +
+    # degree = 9
+    assert gs.num_features == 9
     np.testing.assert_allclose(gs.x[0, :2], [0.5, 1.25])
-    # node 0 has label 7 → one-hot column order is sorted unique {2,7}
-    np.testing.assert_allclose(gs.x[0, 2:4], [0.0, 1.0])
+    # node 0 has label 7 → min-shifted column 5 of 6
+    np.testing.assert_allclose(gs.x[0, 2:8], [0, 0, 0, 0, 0, 1.0])
     # graph 1 contains a self-loop (3,3) which counts toward raw in-degree
     # (Indegree runs before remove_self_loops — reference utils.py:19-20)
     # g1 in-degrees: node0(global 3): from (3,3)? no — global node 3 is
     # g1's node 0; edges in g1: (3,3),(4,3),(3,4) → local (0,0),(1,0),(0,1)
     # in-deg local = [2,1], max 2 → [1.0, 0.5]
-    np.testing.assert_allclose(gs.x[2:, 4], [1.0, 0.5])
+    np.testing.assert_allclose(gs.x[2:, 8], [1.0, 0.5])
 
 
 def test_bundled_folds_rejected_for_larger_dataset():
@@ -294,3 +296,23 @@ def test_synthetic_respects_use_node_attr(tmp_path):
         allow_synthetic=True, use_node_attr=False,
     )
     assert gs_with.num_features == gs_without.num_features + 1  # 1 attr col
+
+
+def test_one_hot_noncontiguous_labels_match_pyg_width():
+    """PyG min-shifts node labels and one-hots over the FULL [0, max-min]
+    range — non-occurring intermediate labels keep (all-zero) columns."""
+    from dgcnn_tpu.data.tu_parser import _one_hot
+
+    oh = _one_hot(np.array([2, 5, 2, 7]))
+    assert oh.shape == (4, 6)  # labels shift to {0, 3, 5}; width 7-2+1
+    np.testing.assert_array_equal(oh.sum(0), [2, 0, 0, 1, 0, 1])
+
+
+def test_config_rejects_bad_mesh_shape():
+    from dgcnn_tpu.config import Config
+    import pytest
+
+    with pytest.raises(ValueError, match="mesh_shape"):
+        Config(data_type="MUTAG", mesh_shape=(4,))
+    with pytest.raises(ValueError, match="mesh_shape"):
+        Config(data_type="MUTAG", mesh_shape=(0, 2))
