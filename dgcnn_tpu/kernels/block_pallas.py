@@ -107,6 +107,16 @@ def _prop_pallas(pool, hb, row_ptr, ip, ic, *, nb, transpose=False,
                  interpret=False):
     """CSR-style pallas_call: grid over `nb` output block-rows; row i owns
     work items [row_ptr[i], row_ptr[i+1]) of the (ip, ic) item lists."""
+    # Mosaic requires the lane (minor) dim of sliced/DMA'd refs to be
+    # tile-aligned: `hb.at[c]` on a 32-wide (or 1-wide, layer 4) feature
+    # block fails real TPU compilation ("Slice shape along dimension 2
+    # must be aligned to tiling (128)", observed on-chip 2026-08-18) even
+    # though interpret mode accepts it. Pad F up to the 128 lane tile for
+    # the kernel and slice the result back.
+    f_in = hb.shape[2]
+    f_pad = -(-f_in // 128) * 128
+    if f_pad != f_in:
+        hb = jnp.pad(hb, ((0, 0), (0, 0), (0, f_pad - f_in)))
     bs, f = pool.shape[1], hb.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -139,12 +149,13 @@ def _prop_pallas(pool, hb, row_ptr, ip, ic, *, nb, transpose=False,
         return jax.lax.pcast(a, need, to="varying") if need else a
 
     pool, hb, row_ptr, ip, ic = map(up, (pool, hb, row_ptr, ip, ic))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _make_kernel(transpose),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, bs, f), jnp.float32, vma=vma),
         interpret=interpret,
     )(row_ptr, ip, ic, pool, hb)
+    return out[:, :, :f_in] if f_pad != f_in else out
 
 
 def _row_ptr(seg_ids, nb):

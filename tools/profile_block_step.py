@@ -135,11 +135,17 @@ def main(argv=None):
 
     report["empty"] = _timed(empty, lambda r: (jnp.float32(r),), S, args.reps)
 
+    # NOTE on jit boundaries: every jitted program below takes the
+    # device-resident graphset (and any fixed batch) as EXPLICIT arguments.
+    # Closing over them inlines the arrays as HLO constants, and this
+    # transport's remote_compile endpoint rejects large request bodies
+    # (HTTP 413 observed 2026-08-18 with DD's block pool in a closure).
+
     # -- assemble: on-device block-batch assembly only --------------------
     @jax.jit
-    def assemble(order2d, seed):
+    def assemble(d, order2d, seed):
         def body(c, idx_row):
-            b = gather_block_batch(dev, idx_row, nb_budget, w_budget)
+            b = gather_block_batch(d, idx_row, nb_budget, w_budget)
             # consume every assembled array (else XLA prunes the work)
             return (
                 c + b.x.sum() + b.node_mask.sum() + seed
@@ -150,30 +156,30 @@ def main(argv=None):
         return c
 
     report["assemble"] = _timed(
-        assemble, lambda r: (order_pool[r], jnp.float32(r)), S, args.reps
+        assemble, lambda r: (dev, order_pool[r], jnp.float32(r)), S, args.reps
     )
 
     # -- blocks: assembly + the per-step pool block gather -----------------
     @jax.jit
-    def blocks_row(order2d, seed):
+    def blocks_row(d, order2d, seed):
         def body(c, idx_row):
-            b = gather_block_batch(dev, idx_row, nb_budget, w_budget)
-            blk = dev.pool[b.item_pool]
+            b = gather_block_batch(d, idx_row, nb_budget, w_budget)
+            blk = d.pool[b.item_pool]
             return c + blk.astype(jnp.float32).sum() + b.x.sum() + seed, ()
         c, _ = jax.lax.scan(body, jnp.float32(0), order2d)
         return c
 
     report["blocks"] = _timed(
-        blocks_row, lambda r: (order_pool[r], jnp.float32(r)), S, args.reps
+        blocks_row, lambda r: (dev, order_pool[r], jnp.float32(r)), S, args.reps
     )
 
     # -- propagation core on a FIXED pre-assembled batch -------------------
     fixed = jax.block_until_ready(jax.jit(
-        lambda: gather_block_batch(dev, order_pool[0][0], nb_budget, w_budget)
-    )())
+        lambda d, row: gather_block_batch(d, row, nb_budget, w_budget)
+    )(dev, order_pool[0][0]))
     fixed_blocks = jax.block_until_ready(jax.jit(
-        lambda: dev.pool[fixed.item_pool]
-    )())
+        lambda pool, ip: pool[ip]
+    )(dev.pool, fixed.item_pool))
     Ws = [params["gcn"][i]["w"] for i in range(4)]
     bs = dev_host.pool.shape[1]
     prop_dt = jnp.bfloat16 if adj_dt == "bfloat16" else jnp.float32
@@ -182,49 +188,57 @@ def main(argv=None):
         from dgcnn_tpu.kernels.block_pallas import block_propagate_pallas
 
         interp = jax.default_backend() not in ("tpu", "axon")
+        prop_operand = dev.pool  # pallas gathers its own blocks from the pool
 
-        def _prop(hb):
+        def _prop(hb, operand, fx):
             return block_propagate_pallas(
-                hb, dev.pool, fixed.item_pool, fixed.item_row,
-                fixed.item_col, fixed.item_permT, fixed.item_colT, interp,
+                hb, operand, fx.item_pool, fx.item_row,
+                fx.item_col, fx.item_permT, fx.item_colT, interp,
             )
     else:
-        def _prop(hb):
+        prop_operand = jax.block_until_ready(jax.jit(
+            lambda b: b.astype(prop_dt)
+        )(fixed_blocks))
+
+        def _prop(hb, operand, fx):
             return block_propagate(
-                hb, fixed_blocks.astype(prop_dt), fixed.item_row,
-                fixed.item_col, fixed.item_permT, fixed.item_colT,
+                hb, operand, fx.item_row, fx.item_col, fx.item_permT,
+                fx.item_colT,
             )
 
-    def prop_loss(ws, seed):
-        h = fixed.x + seed
+    def prop_loss(ws, fx, operand, seed):
+        h = fx.x + seed
         for w in ws:
             hw = jnp.dot(h, w[: h.shape[-1]], preferred_element_type=jnp.float32)
             hb = hw.astype(prop_dt).reshape(nb_budget, bs, -1)
-            agg = _prop(hb)
+            agg = _prop(hb, operand, fx)
             h = jnp.tanh(agg.reshape(nb_budget * bs, -1))
         return jnp.sum(h)
 
     @jax.jit
-    def prop_fwd(seed):
+    def prop_fwd(ws, fx, operand, seed):
         def body(c, _):
-            return c + prop_loss(Ws, c * 1e-9 + seed), ()
+            return c + prop_loss(ws, fx, operand, c * 1e-9 + seed), ()
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=S)
         return c
 
     report["prop_fwd"] = _timed(
-        prop_fwd, lambda r: (jnp.float32(r),), S, args.reps
+        prop_fwd, lambda r: (Ws, fixed, prop_operand, jnp.float32(r)),
+        S, args.reps,
     )
 
     @jax.jit
-    def prop_grad(seed):
+    def prop_grad(ws, fx, operand, seed):
         def body(c, _):
-            v, g = jax.value_and_grad(prop_loss)(Ws, c * 1e-9 + seed)
+            v, g = jax.value_and_grad(prop_loss)(ws, fx, operand,
+                                                 c * 1e-9 + seed)
             return c + v + g[0][0, 0], ()
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=S)
         return c
 
     report["prop_grad"] = _timed(
-        prop_grad, lambda r: (jnp.float32(r),), S, args.reps
+        prop_grad, lambda r: (Ws, fixed, prop_operand, jnp.float32(r)),
+        S, args.reps,
     )
 
     # -- sortpool on a fixed packed node matrix (the segment formulation:
@@ -232,56 +246,55 @@ def main(argv=None):
     from dgcnn_tpu.ops.sort_pool import sort_pool
 
     cat_fixed = jax.block_until_ready(jax.jit(
-        lambda: jax.random.normal(
-            jax.random.PRNGKey(5), (nb_budget * bs, 97), jnp.float32
-        )
-    )())
+        lambda k: jax.random.normal(k, (nb_budget * bs, 97), jnp.float32)
+    )(jax.random.PRNGKey(5)))
 
     @jax.jit
-    def sortpool(seed):
+    def sortpool(cat, node_graph, seed):
         def body(c, _):
-            pooled = sort_pool(
-                cat_fixed + c * 1e-9 + seed, fixed.node_graph, slots, 30
-            )
+            pooled = sort_pool(cat + c * 1e-9 + seed, node_graph, slots, 30)
             return c + pooled.sum(), ()
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=S)
         return c
 
     report["sortpool"] = _timed(
-        sortpool, lambda r: (jnp.float32(r),), S, args.reps
+        sortpool, lambda r: (cat_fixed, fixed.node_graph, jnp.float32(r)),
+        S, args.reps,
     )
 
     # -- full forward / grad (assembly included, no optimizer) -------------
-    def step_loss(p, idx_row, key):
-        batch = gather_block_batch(dev, idx_row, nb_budget, w_budget)
-        lp = apply_block(p, model, batch, dev.pool, deterministic=False,
+    def step_loss(p, d, idx_row, key):
+        batch = gather_block_batch(d, idx_row, nb_budget, w_budget)
+        lp = apply_block(p, model, batch, d.pool, deterministic=False,
                          dropout_rng=key, block_impl=args.block_impl)
         loss, _ = nll_loss_and_correct(lp, batch.y, batch.graph_mask)
         return loss
 
     @jax.jit
-    def fwd(order2d, key):
+    def fwd(p, d, order2d, key):
         def body(c, idx_row):
             k, key = jax.random.split(c[1])
-            return (c[0] + step_loss(params, idx_row, k), key), ()
+            return (c[0] + step_loss(p, d, idx_row, k), key), ()
         c, _ = jax.lax.scan(body, (jnp.float32(0), key), order2d)
         return c[0]
 
     report["fwd"] = _timed(
-        fwd, lambda r: (order_pool[r], jax.random.PRNGKey(r)), S, args.reps
+        fwd, lambda r: (params, dev, order_pool[r], jax.random.PRNGKey(r)),
+        S, args.reps,
     )
 
     @jax.jit
-    def grad(order2d, key):
+    def grad(p, d, order2d, key):
         def body(c, idx_row):
             k, key = jax.random.split(c[1])
-            v, g = jax.value_and_grad(step_loss)(params, idx_row, k)
+            v, g = jax.value_and_grad(step_loss)(p, d, idx_row, k)
             return (c[0] + v + g["gcn"][0]["w"][0, 0], key), ()
         c, _ = jax.lax.scan(body, (jnp.float32(0), key), order2d)
         return c[0]
 
     report["grad"] = _timed(
-        grad, lambda r: (order_pool[r], jax.random.PRNGKey(r)), S, args.reps
+        grad, lambda r: (params, dev, order_pool[r], jax.random.PRNGKey(r)),
+        S, args.reps,
     )
 
     # -- full train step under SGD and Adam (the real engine program) ------
