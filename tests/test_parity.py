@@ -1,10 +1,13 @@
-"""Parity harness tests: torch weight conversion (validated against real
-torch CPU ops for the readout/head, where the flatten permutation lives),
-round-trips, and dump/compare plumbing (COO dump vs dense dump)."""
+"""Parity harness tests: torch weight conversion, FULL-NETWORK activation
+equality against the plain-torch oracle (parity/torch_oracle.py — PyG's
+documented GCNConv/SortAggregation algorithms transliterated into torch
+ops, reference model.py:26-45) on all 8 benchmark feature shapes,
+sort-tie semantics, round-trips, and dump/compare plumbing."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from dgcnn_tpu.batching import compute_bucket, pack_batch
@@ -13,6 +16,11 @@ from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
 from dgcnn_tpu.models.dgcnn import DGCNN, _pooled_to_log_probs, init_params
 from dgcnn_tpu.parity.convert import params_to_torch_state, torch_state_to_params
 from dgcnn_tpu.parity.harness import compare_dumps, dump_activations
+from dgcnn_tpu.parity.torch_oracle import (
+    _sort_pool as torch_sort_pool,
+    forward_activations,
+    graphs_from_graphset,
+)
 
 
 def _model_params(seed=0, f=8, c=2):
@@ -58,6 +66,128 @@ def test_readout_head_matches_torch():
     want = torch.log_softmax(x, dim=-1).numpy()
 
     np.testing.assert_allclose(np.asarray(ours), want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["MUTAG", "PTC_MR", "NCI1", "PROTEINS", "DD", "COLLAB",
+     "IMDB-BINARY", "IMDB-MULTI"],
+)
+def test_full_network_matches_torch_all_feature_shapes(name):
+    """Per-stage activation equality (gcn1..4, sort_pool, log_probs) of the
+    whole network vs the plain-torch transliteration of PyG's documented
+    GCNConv + SortAggregation algorithms, with converted weights — the
+    golden-parity contract of SURVEY §4 item 2 (reference model.py:26-45),
+    run on all 8 benchmark feature shapes (SURVEY §2d)."""
+    n_graphs = 6
+    gs = synthesize_tu_dataset(name, num_graphs=n_graphs, seed=11)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    params = init_params(jax.random.PRNGKey(7), model)
+
+    ours = dump_activations(
+        params, model,
+        pack_batch(gs, np.arange(n_graphs), compute_bucket(gs, n_graphs)),
+    )
+    theirs = forward_activations(
+        params_to_torch_state(params, model), graphs_from_graphset(gs),
+        k=model.sort_pool_k, num_gcn_layers=len(model.hidden_dims),
+    )
+    compare_dumps(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_full_network_matches_torch_dense_layout():
+    """Same oracle contract through the DENSE layout (host-precomputed
+    normalized adjacency + top_k SortPooling) — both packed formulations
+    must land on the same torch-checked numbers."""
+    n_graphs = 6
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=n_graphs, seed=11)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    params = init_params(jax.random.PRNGKey(7), model)
+
+    ours = dump_activations(
+        params, model,
+        pack_dense_batch(gs, np.arange(n_graphs), dense_tile(gs), 8),
+    )
+    theirs = forward_activations(
+        params_to_torch_state(params, model), graphs_from_graphset(gs),
+        k=model.sort_pool_k, num_gcn_layers=len(model.hidden_dims),
+    )
+    compare_dumps(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_sort_pool_tie_semantics_match_torch():
+    """Exact ties on the sort key (channel −1) through all three sorts —
+    the COO global lexicographic sort, the dense masked top_k, and torch's
+    stable descending argsort — must pick the SAME rows in the SAME order
+    (lower node index first on equal keys, PyG's stable contract).
+
+    Rows are made distinguishable in the leading channels while the key
+    channel carries duplicated values, so any tie-order divergence shows
+    up as a row mismatch rather than vanishing into identical rows."""
+    from dgcnn_tpu.ops.sort_pool import sort_pool, sort_pool_dense
+
+    rng = np.random.default_rng(3)
+    k = 4
+    # two graphs: one with 7 nodes (> k) and heavy ties, one with 3 (< k)
+    keys = [np.array([1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0], np.float32),
+            np.array([5.0, 5.0, 5.0], np.float32)]
+    xs = []
+    for kv in keys:
+        n = kv.shape[0]
+        x = rng.normal(size=(n, 5)).astype(np.float32)
+        x[:, -1] = kv
+        xs.append(x)
+
+    want = torch_sort_pool([torch.as_tensor(x) for x in xs], k).numpy()
+
+    # COO packing: concat nodes, graph ids, no padding needed for the op
+    cat = np.concatenate(xs)
+    node_graph = np.concatenate(
+        [np.full(x.shape[0], i, np.int32) for i, x in enumerate(xs)]
+    )
+    got_coo = np.asarray(
+        sort_pool(jnp.asarray(cat), jnp.asarray(node_graph), 2, k)
+    )
+    np.testing.assert_allclose(got_coo, want, rtol=0, atol=0)
+
+    # dense packing: [B, n_max, C] + node mask
+    n_max = max(x.shape[0] for x in xs)
+    dense = np.zeros((2, n_max, 5), np.float32)
+    mask = np.zeros((2, n_max), np.float32)
+    for i, x in enumerate(xs):
+        dense[i, : x.shape[0]] = x
+        mask[i, : x.shape[0]] = 1.0
+    got_dense = np.asarray(
+        sort_pool_dense(jnp.asarray(dense), jnp.asarray(mask), k)
+    )
+    np.testing.assert_allclose(got_dense, want, rtol=0, atol=0)
+
+
+def test_sort_pool_all_equal_conv_outputs_tie_order():
+    """The degenerate all-equal-keys graph (every conv4 output identical):
+    the kept rows must be exactly nodes 0..k-1 in original order, in every
+    formulation — the one place the COO global-sort and the dense top_k
+    could silently diverge from torch's stable sort."""
+    from dgcnn_tpu.ops.sort_pool import sort_pool, sort_pool_dense
+
+    n, k = 9, 4
+    x = np.arange(n * 3, dtype=np.float32).reshape(n, 3)
+    x[:, -1] = 7.0  # all keys exactly equal
+
+    want = torch_sort_pool([torch.as_tensor(x)], k).numpy()
+    np.testing.assert_array_equal(want[0], x[:k])  # torch keeps node order
+
+    got_coo = np.asarray(
+        sort_pool(jnp.asarray(x), jnp.zeros(n, jnp.int32), 1, k)
+    )
+    np.testing.assert_array_equal(got_coo, want)
+
+    got_dense = np.asarray(
+        sort_pool_dense(
+            jnp.asarray(x)[None], jnp.ones((1, n), jnp.float32), k
+        )
+    )
+    np.testing.assert_array_equal(got_dense, want)
 
 
 def test_dump_compare_coo_vs_dense():
