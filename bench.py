@@ -402,19 +402,28 @@ def main():
             "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
         }
 
-    # isolated SpMM %-of-SoL on NCI1 mega-batch shapes (BASELINE metric)
+    # isolated SpMM %-of-SoL on NCI1 mega-batch shapes (BASELINE metric).
+    # Two structures: "batch" = block-diagonal-ish edges like every REAL
+    # packed mega-batch (the production case — impl=auto routes to the
+    # block-pair Pallas kernel, kernels/spmm_block_coo.py); the suffix-less
+    # rows keep round 1's uniform-random structure for continuity (adversarial
+    # to block locality — auto stays on the one-hot MXU formulation there).
     from dgcnn_tpu.utils.profiling import spmm_microbench
 
-    for impl in ("auto", "xla", "pallas"):
-        r = spmm_microbench(num_nodes=1792, num_features=32, num_edges=7168,
-                            impl=impl)
-        detail[f"spmm_{impl}"] = {
-            "us_per_op": round(r["us_per_op"], 1),
-            "achieved_gbps": round(r["achieved_gbps"], 2),
-            "pct_of_sol": round(r["pct_of_sol"], 2),
-        }
-        if "pct_of_mxu" in r:  # one-hot path: its roofline is the MXU
-            detail[f"spmm_{impl}"]["pct_of_mxu"] = round(r["pct_of_mxu"], 1)
+    for kind, suffix in (("batch", "_batch"), ("random", "")):
+        for impl in ("auto", "xla", "pallas"):
+            r = spmm_microbench(num_nodes=1792, num_features=32,
+                                num_edges=7168, impl=impl, reps=8,
+                                structure_kind=kind)
+            row = {
+                "us_per_op": round(r["us_per_op"], 1),
+                "achieved_gbps": round(r["achieved_gbps"], 2),
+                "pct_of_sol": round(r["pct_of_sol"], 2),
+                "routed": r["routed"],
+            }
+            if "pct_of_mxu" in r:  # one-hot path: its roofline is the MXU
+                row["pct_of_mxu"] = round(r["pct_of_mxu"], 1)
+            detail[f"spmm_{impl}{suffix}"] = row
 
     value = total_edges / total_time
     baseline = total_edges / base_time  # derived GTX-1070 edges/s

@@ -68,6 +68,12 @@ class GraphBatch:
     y: np.ndarray
     graph_mask: np.ndarray
     num_graphs: np.ndarray
+    # optional block-pair SpMM structure (kernels/spmm_block_coo.py), a
+    # (BlockCOO, w_pad, w_padT) tuple attached by `add_blockcoo` — lets
+    # spmm_impl auto/pallas route GCN aggregation to the block-COO Pallas
+    # kernel; None on paths that don't build it (a None pytree child is
+    # an empty subtree, so stacking/scanning is unaffected)
+    blockcoo: object = None
 
 
 def _tree_flatten(batch: GraphBatch):
@@ -177,6 +183,108 @@ def pack_batch(
         y=y,
         graph_mask=graph_mask,
         num_graphs=np.asarray(b, dtype=np.int32),
+    )
+
+
+def blockcoo_item_bound(
+    dataset: GraphSet, batch_size: int, eb: int = 0
+) -> int:
+    """Static per-batch work-item bound for `add_blockcoo` structures —
+    the worst-case batch composition (the `batch_size` largest graphs,
+    mirroring compute_bucket). Contiguously-packed graphs span
+    `n//128 + 2` consecutive node blocks, so each contributes at most
+    ~3·span (r, c) groups (|r−c| ≤ span bands) plus its own EB chunking.
+    Loose but SHAPE-STABLE: every epoch pads to it, so fused multi-epoch
+    stacks share one compiled program. add_blockcoo still grows past it
+    when an actual epoch exceeds the bound (correct, at a retrace)."""
+    from dgcnn_tpu.kernels.spmm_block_coo import BS, DEFAULT_EB
+
+    eb = eb or DEFAULT_EB
+    nc = np.sort(dataset.node_counts())[::-1][:batch_size]
+    ec = np.sort(dataset.edge_counts())[::-1][:batch_size]
+    span = nc // BS + 2
+    groups = np.minimum(3 * span, np.maximum(ec, 1))
+    items = groups + ec // eb
+    return int(items.sum()) + 8
+
+
+def add_blockcoo(
+    batch: GraphBatch, eb: int = 0, pad_items_to: int = 0
+) -> GraphBatch:
+    """Attach the block-pair SpMM structure (kernels/spmm_block_coo.py) to
+    a packed batch OR a stacked epoch of batches — a host post-pass over
+    the already-packed edge arrays, so it composes with both the NumPy and
+    the native C++ packer backends.
+
+    For a stacked epoch, every batch's item axis is padded to the epoch
+    max (sentinel items are never read) so the structures stack into one
+    scanned pytree. Weights are the batches' edge masks (the GCN
+    symmetric norm runs as node-row scalings OUTSIDE the spmm —
+    ops/gcn.py node_scale — so mask weights are exactly what the
+    aggregation consumes)."""
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.kernels.spmm_block_coo import (
+        DEFAULT_EB,
+        build_block_coo,
+        pad_weights,
+        pad_weights_t,
+    )
+
+    eb = eb or DEFAULT_EB
+    stacked = batch.edge_src.ndim == 2
+    srcs = batch.edge_src if stacked else batch.edge_src[None]
+    dsts = batch.edge_dst if stacked else batch.edge_dst[None]
+    masks = batch.edge_mask if stacked else batch.edge_mask[None]
+    n_pad = batch.x.shape[-2]
+
+    per_batch = []
+    for src, dst, mask in zip(np.asarray(srcs), np.asarray(dsts), np.asarray(masks)):
+        real = mask > 0
+        per_batch.append((src[real], dst[real], mask[real]))
+
+    from dgcnn_tpu.kernels.spmm_block_coo import pad_structure
+
+    raw = [build_block_coo(src, dst, n_pad, eb=eb) for src, dst, _ in per_batch]
+    w_max = max(
+        max(s.ls.shape[0] for s in raw),
+        max(s.lsT.shape[0] for s in raw),
+        pad_items_to,
+    )
+    structs, wps, wpTs = [], [], []
+    for s, (_, _, mask) in zip(raw, per_batch):
+        s = pad_structure(s, w_max)
+        structs.append(s)
+        wps.append(pad_weights(s, mask))
+        wpTs.append(pad_weights_t(s, mask))
+
+    # canonical meta: per-epoch values (edge count, fill) are STATIC pytree
+    # fields, so leaving them batch-dependent would retrace — or fail to
+    # stack — every fused epoch (BlockCOOMeta docstring). Engine use is an
+    # explicit --spmm pallas opt-in, which the dispatcher honors without a
+    # fill gate (ops/spmm.py), so the sentinels lose nothing.
+    meta = dataclasses.replace(structs[0].meta, num_edges=-1, fill=-1.0)
+
+    def cat(field):
+        arrs = [np.asarray(getattr(s, field)) for s in structs]
+        out = np.stack(arrs, axis=0)
+        return jnp.asarray(out if stacked else out[0])
+
+    from dgcnn_tpu.kernels.spmm_block_coo import BlockCOO
+
+    structure = BlockCOO(
+        meta=meta,
+        row_ptr=cat("row_ptr"), item_r=cat("item_r"), item_c=cat("item_c"),
+        ls=cat("ls"), ld=cat("ld"), perm=cat("perm"),
+        row_ptrT=cat("row_ptrT"), item_cT=cat("item_cT"),
+        lsT=cat("lsT"), ldT=cat("ldT"), permT=cat("permT"),
+    )
+    w_pad = np.stack(wps, axis=0)
+    w_padT = np.stack(wpTs, axis=0)
+    if not stacked:
+        w_pad, w_padT = w_pad[0], w_padT[0]
+    return dataclasses.replace(
+        batch, blockcoo=(structure, jnp.asarray(w_pad), jnp.asarray(w_padT))
     )
 
 

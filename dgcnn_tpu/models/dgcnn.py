@@ -205,6 +205,13 @@ def apply_coo(
     acts = {}
     dt = jnp.dtype(model.compute_dtype)
     x = batch.x.astype(dt)
+    # block-pair structure attached by the packer (add_blockcoo) routes the
+    # aggregation to the block-COO Pallas kernel; mesh edge-partitioned
+    # paths keep the stream formulations (the kernel is single-device)
+    structure = w_pad = w_padT = None
+    bc = getattr(batch, "blockcoo", None)
+    if bc is not None and edge_axis is None and spmm_impl in ("auto", "pallas"):
+        structure, w_pad, w_padT = bc
     layer_outs = []
     for i, layer in enumerate(params["gcn"]):
         x = jnp.tanh(
@@ -219,6 +226,9 @@ def apply_coo(
                 impl=spmm_impl,
                 edge_axis=edge_axis,
                 node_scale=dinv_sqrt,
+                structure=structure,
+                w_pad=w_pad,
+                w_padT=w_padT,
             )
         )
         # padded nodes: tanh(0 + b) ≠ 0 once biases train — mask them so

@@ -101,6 +101,9 @@ def gcn_conv(
     impl: str = "xla",
     edge_axis: Optional[str] = None,
     node_scale: Optional[jax.Array] = None,
+    structure=None,
+    w_pad: Optional[jax.Array] = None,
+    w_padT: Optional[jax.Array] = None,
 ) -> jax.Array:
     """One GCNConv layer given precomputed edge weights and degrees.
 
@@ -114,18 +117,23 @@ def gcn_conv(
     identical to per-edge weights (Σ_e s_src·s_dst·mask·h[src] =
     s_dst·Σ_e mask·(s·h)[src]) but with no per-edge lookups at all, which
     cost ~60 TPU cycles/element each as gathers. `edge_weight` must then
-    be the raw edge mask."""
+    be the raw edge mask.
+
+    `structure`/`w_pad`/`w_padT` (kernels/spmm_block_coo.py, attached by
+    the packer's `add_blockcoo`): routes the aggregation to the block-pair
+    Pallas kernel under impl auto/pallas; w_pad must encode the SAME
+    weights as `edge_weight` (the packer builds it from the edge mask)."""
     h = jnp.dot(x, weight, preferred_element_type=jnp.float32)
+    kw = dict(
+        impl=impl, edge_axis=edge_axis,
+        structure=structure, w_pad=w_pad, w_padT=w_padT,
+    )
     if node_scale is not None:
         s = node_scale.astype(h.dtype)[:, None]
         agg = spmm(
-            edge_src, edge_dst, edge_weight, h * s, h.shape[0], impl=impl,
-            edge_axis=edge_axis,
+            edge_src, edge_dst, edge_weight, h * s, h.shape[0], **kw
         ) * s
     else:
-        agg = spmm(
-            edge_src, edge_dst, edge_weight, h, h.shape[0], impl=impl,
-            edge_axis=edge_axis,
-        )
+        agg = spmm(edge_src, edge_dst, edge_weight, h, h.shape[0], **kw)
     agg = agg + h * (1.0 / deg_hat)[:, None]
     return agg + bias

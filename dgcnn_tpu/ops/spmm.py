@@ -222,6 +222,12 @@ def sddmm(
 _ONEHOT_MAX_NF = 800_000
 
 
+# block-pair structures below this fill fraction (real edges / padded
+# slots) degenerate — the per-item padding waste exceeds what the smaller
+# selectors save vs the one-hot path (kernels/spmm_block_coo.py docstring)
+_BLOCK_COO_MIN_FILL = 0.25
+
+
 def spmm(
     edge_src: jax.Array,
     edge_dst: jax.Array,
@@ -230,11 +236,49 @@ def spmm(
     num_nodes: int,
     impl: str = "xla",
     edge_axis: Optional[str] = None,
+    structure=None,          # kernels.spmm_block_coo.BlockCOO, host-built
+    w_pad: Optional[jax.Array] = None,   # [W, EB] weights, fwd slot order
+    w_padT: Optional[jax.Array] = None,  # [WT, EB] transpose slot order
 ) -> jax.Array:
     """`edge_axis`: mesh axis name over which the edge stream is partitioned
     (SURVEY §2e item 2 — each device owns a slice of the batch adjacency and
     computes a partial aggregate over the full, replicated node set; one
-    psum over ICI reconstitutes the exact single-chip result)."""
+    psum over ICI reconstitutes the exact single-chip result).
+
+    `structure` (+ `w_pad`/`w_padT`, from `kernels.spmm_block_coo`
+    `build_block_coo`/`pad_weights*` — host-built once per packed batch):
+    enables the block-pair Pallas kernel, the preferred path under
+    impl="auto"/"pallas" when the batch is block-local enough (fill gate)
+    and the feature block fits VMEM. `edge_weight` must then equal the
+    weights baked into `w_pad` (the packer contract)."""
+    if structure is not None and impl in ("auto", "pallas"):
+        from dgcnn_tpu.kernels.spmm_block_coo import (
+            block_coo_fits,
+            spmm_block_coo,
+        )
+
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        usable = (
+            w_pad is not None
+            and w_padT is not None
+            # fill gates only the AUTO choice; explicit pallas is an
+            # opt-in (engine-attached structures carry fill = −1 sentinels
+            # so their static meta is epoch-stable — packer add_blockcoo)
+            and (impl == "pallas"
+                 or structure.meta.fill >= _BLOCK_COO_MIN_FILL)
+            and block_coo_fits(
+                num_nodes, h.shape[1], structure.ls.shape[0],
+                structure.meta.eb,
+            )
+            and not (not on_tpu and jax.typeof(h).vma)
+            # the pallas HLO interpreter cannot run inside shard_map's
+            # vma checker (same JAX rough edge as the other kernels)
+        )
+        if usable:
+            out = spmm_block_coo(structure, w_pad, w_padT, h, not on_tpu)
+            if edge_axis is not None:
+                out = jax.lax.psum(out, edge_axis)
+            return out
     aligned = edge_src.shape[0] % ONEHOT_EDGE_BLOCK == 0
     if (impl == "onehot" and aligned) or (
         impl == "auto"

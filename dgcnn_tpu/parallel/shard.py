@@ -142,6 +142,8 @@ def local_view(batch: GraphBatch) -> GraphBatch:
     Asserts the dropped axes really are size 1 — a batch packed for MORE
     shards than the mesh axis would otherwise silently lose sub-batches."""
     def squeeze(name, arr):
+        if arr is None:  # optional structure fields (e.g. blockcoo)
+            return None
         assert arr.shape[0] == 1, (
             f"{name}: per-device data-axis block is {arr.shape[0]}, "
             f"expected 1 — batch packed for a different mesh shape?"

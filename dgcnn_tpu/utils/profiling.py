@@ -59,6 +59,36 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def _batch_edges(rng, num_nodes: int, num_edges: int, avg_graph_nodes: int = 30):
+    """Block-diagonal-ish edge stream shaped like a REAL packed mega-batch
+    (contiguous graphs of ~avg_graph_nodes nodes, intra-graph random edges,
+    globally dst-sorted, padded with w=0 edges to the 1024 alignment) — the
+    structure the one-hot/random microbench cannot represent but every
+    production batch has."""
+    src_l, dst_l = [], []
+    base, budget = 0, num_edges
+    while base < num_nodes and budget > 0:
+        gn = max(4, int(rng.normal(avg_graph_nodes, avg_graph_nodes * 0.25)))
+        gn = min(gn, num_nodes - base)
+        ge = min(int(gn * num_edges / num_nodes), budget)
+        if ge <= 0:
+            break
+        src_l.append(rng.integers(0, gn, ge) + base)
+        dst_l.append(rng.integers(0, gn, ge) + base)
+        base += gn
+        budget -= ge
+    src = np.concatenate(src_l).astype(np.int32)
+    dst = np.concatenate(dst_l).astype(np.int32)
+    w = (rng.random(src.shape[0]).astype(np.float32) - 0.5) * 0.01
+    pad = -len(src) % 1024
+    if pad:
+        src = np.r_[src, np.zeros(pad, np.int32)]
+        dst = np.r_[dst, np.full(pad, num_nodes - 1, np.int32)]
+        w = np.r_[w, np.zeros(pad, np.float32)]
+    order = np.argsort(dst, kind="stable")
+    return src[order], dst[order], w[order]
+
+
 def spmm_microbench(
     num_nodes: int = 2048,
     num_features: int = 32,
@@ -68,6 +98,7 @@ def spmm_microbench(
     unroll: int = 16,
     reps: int = 4,
     seed: int = 0,
+    structure_kind: str = "random",
 ) -> Dict[str, float]:
     """Isolated SpMM timing on realistic shapes.
 
@@ -85,10 +116,32 @@ def spmm_microbench(
     from dgcnn_tpu.ops.spmm import spmm
 
     rng = np.random.default_rng(seed)
-    src = jnp.array(rng.integers(0, num_nodes, num_edges).astype(np.int32))
-    dst = jnp.array(np.sort(rng.integers(0, num_nodes, num_edges)).astype(np.int32))
-    w = jnp.array((rng.random(num_edges).astype(np.float32) - 0.5) * 0.01)
+    if structure_kind == "batch":
+        src_np, dst_np, w_np = _batch_edges(rng, num_nodes, num_edges)
+        num_edges = src_np.shape[0]
+    elif structure_kind == "random":
+        src_np = rng.integers(0, num_nodes, num_edges).astype(np.int32)
+        dst_np = np.sort(rng.integers(0, num_nodes, num_edges)).astype(np.int32)
+        w_np = (rng.random(num_edges).astype(np.float32) - 0.5) * 0.01
+    else:
+        raise ValueError(f"unknown structure_kind {structure_kind!r}")
+    src, dst, w = jnp.array(src_np), jnp.array(dst_np), jnp.array(w_np)
     h0 = rng.normal(size=(num_nodes, num_features)).astype(np.float32) * 0.01
+
+    # block-pair structure (host-built once per batch in production —
+    # setup cost here, like the dst-sort): lets the auto/pallas impls
+    # route to the block-COO kernel (kernels/spmm_block_coo.py)
+    structure = w_pad = w_padT = None
+    if impl in ("auto", "pallas"):
+        from dgcnn_tpu.kernels.spmm_block_coo import (
+            build_block_coo,
+            pad_weights,
+            pad_weights_t,
+        )
+
+        structure = build_block_coo(src_np, dst_np, num_nodes)
+        w_pad = jnp.asarray(pad_weights(structure, w_np))
+        w_padT = jnp.asarray(pad_weights_t(structure, w_np))
 
     def time_chain(op):
         @jax.jit
@@ -111,7 +164,10 @@ def spmm_microbench(
 
     floor = time_chain(lambda s, d, ww, acc: acc * 1.0001)
     full = time_chain(
-        lambda s, d, ww, acc: spmm(s, d, ww, acc, num_nodes, impl=impl)
+        lambda s, d, ww, acc: spmm(
+            s, d, ww, acc, num_nodes, impl=impl,
+            structure=structure, w_pad=w_pad, w_padT=w_padT,
+        )
     )
     per_op = (full - floor) / unroll
     if per_op <= 0:
@@ -119,15 +175,29 @@ def spmm_microbench(
         # that honestly instead of a clamped absurd throughput
         nan = float("nan")
         return {
-            "impl": impl, "num_nodes": num_nodes,
+            "impl": impl, "routed": impl, "structure": structure_kind,
+            "num_nodes": num_nodes,
             "num_features": num_features, "num_edges": num_edges,
             "us_per_op": nan, "edges_per_s": nan,
             "achieved_gbps": nan, "pct_of_sol": nan,
             "below_measurement_floor": True,
         }
+    routed = "onehot" if _is_onehot(impl, num_nodes, num_features,
+                                    num_edges) else impl
+    if structure is not None:
+        from dgcnn_tpu.kernels.spmm_block_coo import block_coo_fits
+        from dgcnn_tpu.ops.spmm import _BLOCK_COO_MIN_FILL
+
+        if structure.meta.fill >= _BLOCK_COO_MIN_FILL and block_coo_fits(
+            num_nodes, num_features, structure.ls.shape[0], structure.meta.eb
+        ):
+            routed = "blockcoo_pallas"
+
     bytes_moved = spmm_hbm_bytes(num_nodes, num_features, num_edges)
     return {
         "impl": impl,
+        "routed": routed,
+        "structure": structure_kind,
         "num_nodes": num_nodes,
         "num_features": num_features,
         "num_edges": num_edges,
@@ -148,7 +218,7 @@ def spmm_microbench(
                 "pct_of_mxu": flops / per_op / (V5E_MXU_BF16_TFLOPS * 1e12)
                 * 100.0,
             }
-            if _is_onehot(impl, num_nodes, num_features, num_edges) else {}
+            if routed == "onehot" else {}
         ),
     }
 
