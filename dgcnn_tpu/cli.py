@@ -29,13 +29,30 @@ def get_args(argv=None):
     parser.add_argument("--fold_dir", default=None, type=str,
                         help="directory with {train,test}_idx-<k>.txt fold files")
     parser.add_argument("--layout", default="auto",
-                        choices=["auto", "coo", "dense", "multi", "block"],
+                        choices=["auto", "coo", "dense", "multi", "block",
+                                 "halo"],
                         help="batch layout: dense MXU adjacency blocks, "
                              "size-bucketed multi-tile dense, block-sparse "
-                             "128x128 adjacency pool, or COO+SpMM")
+                             "128x128 adjacency pool, COO+SpMM, or halo "
+                             "(node axis SHARDED over the mesh graph axis, "
+                             "ppermute boundary exchange — needs --mesh)")
     parser.add_argument("--mesh", default="1,1", type=str,
                         help="device mesh 'data,graph' (e.g. 4,2 = 4-way data "
                              "parallel x 2-way edge-partitioned)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize the multi-host runtime "
+                             "(jax.distributed) before first device touch — "
+                             "required on TPU pods; coordinator/process "
+                             "topology auto-detects from the TPU environment "
+                             "or from the flags below")
+    parser.add_argument("--coordinator", default=None, type=str,
+                        help="multi-host coordinator address host:port "
+                             "(omit on TPU pods — auto-detected)")
+    parser.add_argument("--num_processes", default=None, type=int,
+                        help="multi-host process count (omit to auto-detect)")
+    parser.add_argument("--process_id", default=None, type=int,
+                        help="this process's multi-host rank (omit to "
+                             "auto-detect)")
     parser.add_argument("--spmm", default="auto",
                         choices=["auto", "xla", "onehot", "pallas"],
                         help="COO SpMM kernel implementation")
@@ -47,11 +64,13 @@ def get_args(argv=None):
                         choices=["float32", "bfloat16"],
                         help="compute dtype for matmuls/convs (fp32 "
                              "accumulation; params and loss stay fp32)")
-    parser.add_argument("--adj_dtype", default="float32",
+    parser.add_argument("--adj_dtype", default="auto",
                         choices=["auto", "float32", "bfloat16"],
                         help="STORAGE dtype of device-resident dense "
-                             "adjacencies (bf16 halves their HBM traffic; "
-                             "auto = bf16 on TPU — see config.py)")
+                             "adjacencies (bf16 halves their HBM traffic "
+                             "and is bitwise-identical under the MXU's "
+                             "DEFAULT-precision rounding — measured on-chip; "
+                             "auto = bf16 on TPU, fp32 on CPU)")
     parser.add_argument("--block_impl", default="auto",
                         choices=["auto", "xla", "pallas"],
                         help="block-sparse propagation impl: xla = batched "
@@ -102,6 +121,22 @@ def get_args(argv=None):
 
 def main(argv=None):
     opt = get_args(argv)
+    if opt.multihost or os.environ.get("DGCNN_MULTIHOST"):
+        # SURVEY §2e item 3: pod runs must bring up the distributed
+        # runtime BEFORE any backend touch (resolve_platform below probes
+        # devices). Auto-detects pod topology when the explicit flags are
+        # omitted; on failure this raises rather than silently training
+        # independent per-host replicas (parallel/mesh.py).
+        from dgcnn_tpu.parallel.mesh import initialize_multihost
+
+        kwargs = {}
+        if opt.coordinator:
+            kwargs["coordinator_address"] = opt.coordinator
+        if opt.num_processes is not None:
+            kwargs["num_processes"] = opt.num_processes
+        if opt.process_id is not None:
+            kwargs["process_id"] = opt.process_id
+        initialize_multihost(**kwargs)
     from dgcnn_tpu.utils.platform import resolve_platform
 
     pin = resolve_platform(opt.platform)

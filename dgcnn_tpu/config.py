@@ -80,8 +80,10 @@ class Config:
     # "block" = block-sparse 128×128 adjacency pool, propagation as batched
     # MXU matmuls over nonzero blocks (fastest when graphs are much smaller
     # than the dataset max, or large and sparse); "coo" = packed edge lists
-    # + SpMM; "auto" picks dense when the largest graph and the
-    # stacked-epoch footprint allow it.
+    # + SpMM; "halo" = node axis SHARDED over the mesh "graph" axis with
+    # ppermute boundary exchange per layer (parallel/halo.py — per-device
+    # memory drops 1/n_graph; mesh-only); "auto" picks dense when the
+    # largest graph and the stacked-epoch footprint allow it.
     layout: str = "auto"
     dense_max_nodes: int = 2048
     # smallest tile of the multi-tile dense ladder (batching/multi_dense.py)
@@ -100,15 +102,18 @@ class Config:
     # Compute dtype for the network ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
     # Storage dtype of device-resident normalized adjacencies (dense /
-    # multi-tile layouts). The TPU MXU's DEFAULT matmul precision already
-    # rounds fp32 operands to bfloat16 before multiplying, so storing the
-    # adjacency pre-rounded halves its HBM traffic without changing what
-    # the MXU computes; "auto" = bfloat16 on TPU, float32 elsewhere (CPU
-    # matmuls really consume fp32). Adjacency VALUES are built in fp32
-    # (degree math) and only stored rounded. Default float32 until the
-    # on-chip bitwise-equality probe (probe_adj_bf16.py) validates the
-    # default-precision rounding claim on this TPU generation.
-    adj_dtype: str = "float32"
+    # multi-tile / block layouts). The TPU MXU's DEFAULT matmul precision
+    # already rounds fp32 operands to bfloat16 before multiplying, so
+    # storing the adjacency pre-rounded halves its HBM traffic without
+    # changing what the MXU computes; "auto" = bfloat16 on TPU, float32
+    # elsewhere (CPU matmuls really consume fp32). Adjacency VALUES are
+    # built in fp32 (degree math) and only stored rounded. Default "auto":
+    # the on-chip probe (tools/probe_mxu_rounding.py, 2026-08-19 v5e run)
+    # measured BITWISE-equal products for bf16-stored vs fp32-stored
+    # operands at DEFAULT precision, and the DD block anatomy
+    # (tools/profile_block_step.py) measured the full step 24% faster
+    # (1344 vs 1763 µs over floor) with the halved block stream.
+    adj_dtype: str = "auto"
     # Block-sparse propagation implementation (--layout block):
     # "xla" = batched einsum over gathered [W, bs, bs] blocks + sorted
     # segment-sum; "pallas" = fused CSR-style kernel streaming pool blocks
@@ -172,9 +177,14 @@ class Config:
     tensorboard_dir: Optional[str] = None
 
     def resolved_block_impl(self) -> str:
-        """Concrete block propagation impl ("auto" → "xla" for now; the
-        fused pallas kernel is opt-in until the on-chip A/B of
-        tools/profile_block_step.py lands a winner)."""
+        """Concrete block propagation impl. "auto" → "xla": the on-chip
+        A/B (tools/profile_block_step.py DD anatomies, 2026-08-19 v5e run)
+        measured the fused CSR-style kernel LOSING to the XLA formulation
+        — fwd 712 vs 440 µs, full step 2876 vs 1763 µs over floor — its
+        per-item HBM→VMEM DMA round-trips are latency-bound at 128×128
+        block granularity. The kernel stays available (--block_impl
+        pallas) and correct; the VMEM-resident block-pair COO kernel
+        (kernels/spmm_block_coo.py) is the Pallas path that wins instead."""
         if self.block_impl != "auto":
             return self.block_impl
         return "xla"
@@ -208,7 +218,8 @@ class Config:
                 f"mesh_shape must be two positive ints (data, graph); got "
                 f"{self.mesh_shape!r}"
             )
-        if self.layout not in ("auto", "coo", "dense", "multi", "block"):
+        if self.layout not in ("auto", "coo", "dense", "multi", "block",
+                               "halo"):
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")

@@ -102,19 +102,57 @@ def _download(root: str, name: str) -> bool:
         shutil.rmtree(extract_root, ignore_errors=True)
 
 
+def verify_dataset_stats(
+    name: str, gs: GraphSet, use_node_attr: bool = True, strict: bool = False
+) -> bool:
+    """Cross-check a loaded REAL dataset against the published benchmark
+    stats (reference README.md:62-94). A mismatch means wrong/truncated
+    raw files or a parser regression — warn loudly (or raise under
+    `strict`) instead of silently training on the wrong data. Returns
+    True when the stats match (or the dataset is unknown)."""
+    want = DATASET_STATS.get(name)
+    if want is None:
+        return True
+    got = dict(
+        num_graphs=gs.num_graphs,
+        num_classes=gs.num_classes,
+        num_features=gs.num_features,
+    )
+    expected = dict(want)
+    if not use_node_attr and name == "PROTEINS":
+        expected["num_features"] = 4  # the 1 continuous attr column drops
+    if got == expected:
+        return True
+    msg = (
+        f"{name}: loaded stats {got} != published {expected} "
+        f"(reference README.md:62-94) — wrong or truncated raw files?"
+    )
+    if strict:
+        raise ValueError(msg)
+    import warnings
+
+    warnings.warn(msg, stacklevel=2)
+    print(f"WARNING: {msg}")
+    return False
+
+
 def load_dataset(
     name: str,
     root: str = "data",
     use_node_attr: bool = True,
     allow_download: bool = True,
     allow_synthetic: bool = False,
+    strict_stats: bool = False,
 ) -> Tuple[GraphSet, DatasetMeta]:
     """Load a benchmark dataset, preferring (in order) the processed cache,
     raw TU files, a fresh download, and — only if explicitly allowed — the
-    synthetic profile generator."""
+    synthetic profile generator. Real-data loads are cross-checked against
+    the published benchmark stats (`verify_dataset_stats`)."""
     cache = _cache_path(root, name, use_node_attr)
     if os.path.exists(cache):
-        return GraphSet.from_npz(cache), DatasetMeta(name, "cache", cache)
+        gs = GraphSet.from_npz(cache)
+        verify_dataset_stats(name, gs, use_node_attr, strict=strict_stats)
+        return gs, DatasetMeta(name, "cache", cache)
 
     raw = _raw_dir(root, name)
     source: Optional[str] = None
@@ -125,6 +163,7 @@ def load_dataset(
 
     if source is not None:
         gs = parse_tu_dir(raw, name, use_node_attr=use_node_attr)
+        verify_dataset_stats(name, gs, use_node_attr, strict=strict_stats)
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         gs.to_npz(cache)
         return gs, DatasetMeta(name, source, raw)

@@ -138,8 +138,11 @@ def test_block_engine_runs_with_explicit_bf16(tmp_path):
 
 def test_config_resolution_and_validation():
     cfg = Config(data_type="MUTAG")
-    assert cfg.resolved_adj_dtype() == "float32"  # default
-    # "auto" on CPU (conftest) resolves fp32: CPU matmuls consume real fp32
+    # default is "auto" (flipped after the 2026-08-19 on-chip BITWISE
+    # probe + DD step win); on the CPU test backend auto resolves fp32
+    # because CPU matmuls consume real fp32
+    assert cfg.adj_dtype == "auto"
+    assert cfg.resolved_adj_dtype() == "float32"
     assert Config(data_type="MUTAG", adj_dtype="auto").resolved_adj_dtype() \
         == "float32"
     assert Config(data_type="MUTAG", adj_dtype="bfloat16").resolved_adj_dtype() \
