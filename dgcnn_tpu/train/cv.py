@@ -168,7 +168,25 @@ class CooEngine(EngineBase):
             cfg.edge_pad_multiple, cfg.graph_pad_multiple,
         )
         self._bucket = bucket
-        self._pack = lambda ds, order: pack_epoch(ds, order, cfg.batch_size, bucket)
+        if cfg.spmm_impl == "pallas":
+            # opt-in block-pair structures (kernels/spmm_block_coo.py):
+            # apply_coo routes the aggregation to the block-COO Pallas
+            # kernel when a batch carries them. Host build cost is a few
+            # ms per epoch — explicit pallas only, not "auto"
+            from dgcnn_tpu.batching.packer import (
+                add_blockcoo,
+                blockcoo_item_bound,
+            )
+
+            w_bound = blockcoo_item_bound(dataset, cfg.batch_size)
+            self._pack = lambda ds, order: add_blockcoo(
+                pack_epoch(ds, order, cfg.batch_size, bucket),
+                pad_items_to=w_bound,
+            )
+        else:
+            self._pack = lambda ds, order: pack_epoch(
+                ds, order, cfg.batch_size, bucket
+            )
         self._train = make_train_epoch(model, optimizer, cfg.spmm_impl)
         self._eval = make_eval_epoch(model, cfg.spmm_impl)
         self._run = make_coo_run(model, optimizer, cfg.spmm_impl)
@@ -608,6 +626,58 @@ class MeshCooEngine(EngineBase):
         return self._eval(params, self._test_batches)
 
 
+class MeshHaloEngine(EngineBase):
+    """Mesh engine for the HALO layout (SURVEY §2e item 2's stated
+    design): the packed node axis is SHARDED over the mesh "graph" axis —
+    per-device feature blocks are 1/n_graph the sub-batch's node budget —
+    and each GCN layer exchanges only H boundary rows with the two
+    neighbor shards via `ppermute` (parallel/halo.py) instead of
+    all-reducing the full node block. Exact vs single-chip
+    (tests/test_halo.py partition invariance)."""
+
+    def __init__(self, cfg: Config, dataset: GraphSet, model: DGCNN,
+                 optimizer: optax.GradientTransformation):
+        from dgcnn_tpu.batching.shard_pack import halo_bucket, pack_epoch_halo
+        from dgcnn_tpu.parallel import make_mesh
+        from dgcnn_tpu.parallel.halo import (
+            device_put_halo_epoch,
+            make_halo_eval_epoch,
+            make_halo_train_epoch,
+        )
+
+        self.cfg = cfg
+        self.dataset = dataset
+        n_data, n_graph = cfg.mesh_shape
+        self.mesh = make_mesh(cfg.mesh_shape)
+        bucket = halo_bucket(
+            dataset, cfg.batch_size, n_data, n_graph,
+            cfg.node_pad_multiple, cfg.edge_pad_multiple,
+            cfg.graph_pad_multiple,
+        )
+        self._bucket = bucket
+        self._pack = lambda ds, order: device_put_halo_epoch(
+            pack_epoch_halo(
+                ds, order, cfg.batch_size, n_data, n_graph, bucket
+            ),
+            self.mesh, bucket.halo,
+        )
+        self._train = make_halo_train_epoch(
+            model, optimizer, self.mesh, bucket.halo
+        )
+        self._eval = make_halo_eval_epoch(model, self.mesh, bucket.halo)
+
+    def begin_fold(self, train_idx, test_idx):
+        self._train_set = self.dataset.subset(train_idx)
+        test_set = self.dataset.subset(test_idx)
+        self._test_batches = self._pack(test_set, np.arange(test_set.num_graphs))
+
+    def train_epoch(self, params, opt_state, rng, perm):
+        return self._train(params, opt_state, rng, self._pack(self._train_set, perm))
+
+    def eval_test(self, params):
+        return self._eval(params, self._test_batches)
+
+
 class MeshDeviceCooEngine(EngineBase):
     """Mesh-sharded device-resident COO engine: the DeviceGraphSet is
     replicated across the mesh; each "data"-axis device assembles its
@@ -876,13 +946,21 @@ class MeshBlockEngine(EngineBase):
 
 def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
                 optimizer: optax.GradientTransformation, layout: str):
+    if layout == "halo" and cfg.mesh_shape == (1, 1):
+        raise ValueError(
+            "layout='halo' shards the node axis over the mesh 'graph' "
+            "axis — pass --mesh D,G with G>1 (or D·G>1); on one device "
+            "use layout='coo'"
+        )
     if cfg.mesh_shape != (1, 1):
         if layout == "multi":
             raise ValueError(
                 f"layout={layout!r} is single-chip only; use layout='dense', "
-                "'block' or 'coo' (or 'auto') with a mesh"
+                "'block', 'halo' or 'coo' (or 'auto') with a mesh"
             )
-        if layout == "dense":
+        if layout == "halo":
+            cls = MeshHaloEngine
+        elif layout == "dense":
             cls = MeshDenseEngine
         elif layout == "block":
             cls = MeshBlockEngine
@@ -896,11 +974,36 @@ def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
         cls = MultiDenseEngine
     elif layout == "block":
         cls = BlockSparseEngine
+    elif cfg.spmm_impl == "pallas":
+        # the block-pair Pallas SpMM needs host-built structures
+        # (batching/packer.py add_blockcoo) — only the host-packing engine
+        # attaches them; device-side assembly has no host pass to build on
+        cls = CooEngine
     elif cfg.coo_assembly == "device":
         cls = DeviceCooEngine
     else:
         cls = CooEngine
     return cls(cfg, dataset, model, optimizer)
+
+
+_LIVE_RENDER_MIN_SECONDS = 15.0
+_live_render_last = [0.0]
+
+
+def _maybe_render_live(cfg: Config) -> None:
+    """Throttled best-effort curve refresh during a run (VERDICT r1 #8:
+    run-end-only rendering left long DD runs blind). Never raises; never
+    renders more than once per _LIVE_RENDER_MIN_SECONDS."""
+    now = time.perf_counter()
+    if now - _live_render_last[0] < _LIVE_RENDER_MIN_SECONDS:
+        return
+    _live_render_last[0] = now
+    try:
+        from dgcnn_tpu.train.plots import render_curves
+
+        render_curves(cfg.statistics_dir, cfg.data_type)
+    except Exception:
+        pass  # partial CSVs mid-write, matplotlib missing, etc.
 
 
 def run_fold(
@@ -1016,6 +1119,19 @@ def run_fold(
                     f"test {te_loss:.4f}/{test_acc:.2f}% ({dt:.2f}s)"
                 )
         epoch += k
+        # live observability (the reference's visdom updates per epoch,
+        # train.py:122-125): flush the in-progress fold CSV at every chunk
+        # boundary and re-render the curve PNG on a throttle, so
+        # multi-minute runs show progress instead of going dark until the
+        # run tail
+        if epoch <= cfg.num_epochs:
+            metrics.to_csv(
+                os.path.join(
+                    cfg.statistics_dir,
+                    f"{cfg.data_type}_results_{fold_number}.csv",
+                )
+            )
+            _maybe_render_live(cfg)
         if cfg.checkpoint_every and (epoch - 1) % cfg.checkpoint_every == 0:
             save_checkpoint(
                 inflight,
