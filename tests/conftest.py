@@ -19,3 +19,24 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run @pytest.mark.slow (compile-heavy) tests — the FULL "
+             "gate for round ends; the default selection is the fast "
+             "inner-loop suite",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: needs --runslow (full gate)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
