@@ -424,3 +424,41 @@ def test_stats_match_passes_quietly():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert verify_dataset_stats("MUTAG", gs)
+
+
+def test_fetch_tool_from_zip_ingestion(tmp_path, monkeypatch):
+    """tools/fetch_datasets.py --from_zip: the no-egress hand-off path —
+    extract, parse, STRICT stats verify, cache. The tiny fixture posing
+    as MUTAG must be rejected by strict verification; with matching
+    published stats the ingest completes and writes the processed cache."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "fetch_datasets",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "fetch_datasets.py"),
+    )
+    fetch = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fetch)
+
+    name = "MUTAG"
+    zip_path = _write_tiny_tu_zip(str(tmp_path / "zips"), name)
+    root = str(tmp_path / "data")
+    # strict verification rejects the 2-graph fixture posing as MUTAG
+    with pytest.raises(ValueError, match="published"):
+        fetch.fetch_one(name, root, from_zip=zip_path)
+
+    # with published stats matching the fixture, the ingest succeeds
+    from dgcnn_tpu.data import datasets as ds_mod
+
+    monkeypatch.setitem(
+        ds_mod.DATASET_STATS, name,
+        dict(num_graphs=2, num_classes=2, num_features=3),
+    )
+    zip_path = _write_tiny_tu_zip(str(tmp_path / "zips2"), name)
+    root2 = str(tmp_path / "data2")
+    assert fetch.fetch_one(name, root2, from_zip=zip_path)
+    assert os.path.exists(
+        os.path.join(root2, name, "processed", f"{name}.npz")
+    )
