@@ -49,6 +49,7 @@ def test_multi_dense_bf16_storage():
     assert all(c.adj.dtype == jnp.bfloat16 for c in classes)
 
 
+@pytest.mark.slow
 def test_apply_dense_bf16_adj_close_and_fp32_out():
     gs = synthesize_tu_dataset("PROTEINS", num_graphs=16, seed=7)
     t = dense_tile(gs)
@@ -82,6 +83,7 @@ def test_apply_dense_bf16_adj_close_and_fp32_out():
     np.testing.assert_allclose(gf16, gf32, rtol=0.1, atol=0.05)
 
 
+@pytest.mark.slow
 def test_apply_block_bf16_pool_close():
     """Block engine: a bf16-rounded pool yields close logits and finite,
     close grads (the custom VJP must keep bf16 operands on both sides)."""
@@ -116,6 +118,7 @@ def test_apply_block_bf16_pool_close():
     np.testing.assert_allclose(f16, f32, rtol=0.15, atol=0.05)
 
 
+@pytest.mark.slow
 def test_block_engine_runs_with_explicit_bf16(tmp_path):
     from dgcnn_tpu.train.cv import run_cross_validation
 
@@ -152,6 +155,7 @@ def test_config_resolution_and_validation():
 
 
 @pytest.mark.parametrize("cv_parallel", ["sequential", "folds"])
+@pytest.mark.slow
 def test_dense_engine_runs_with_explicit_bf16(tmp_path, cv_parallel):
     """End-to-end: one tiny CV run on the dense engine — sequential and
     fold-lockstep drivers — with bf16 adjacency storage forced (on CPU

@@ -14,6 +14,7 @@ from dgcnn_tpu.batching.block_sparse import (
 )
 from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
 from dgcnn_tpu.models.dgcnn import DGCNN, apply_block, apply_coo, init_params
+import pytest
 
 
 def _setup(name, ng, seed=3):
@@ -90,6 +91,7 @@ def test_item_rows_sorted_and_padding():
     assert int(bb.num_graphs) == 3
 
 
+@pytest.mark.slow
 def test_logits_match_coo_all_shapes():
     for name, ng in (("COLLAB", 16), ("DD", 8), ("MUTAG", 12), ("PROTEINS", 10)):
         gs, model, params, dev = _setup(name, ng)
@@ -140,6 +142,7 @@ def test_grads_match_coo_path():
         )
 
 
+@pytest.mark.slow
 def test_grads_flow_and_bf16():
     gs, model, params, dev = _setup("COLLAB", 10)
     idx = jnp.arange(10, dtype=jnp.int32)
@@ -168,6 +171,7 @@ def test_grads_flow_and_bf16():
     np.testing.assert_allclose(lp16, lp32, atol=0.1, rtol=0.1)
 
 
+@pytest.mark.slow
 def test_engine_matches_coo_engine(tmp_path):
     import os
 

@@ -8,6 +8,7 @@ import numpy as np
 from dgcnn_tpu.config import Config
 from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
 from dgcnn_tpu.train.cv import run_cross_validation
+import pytest
 
 
 def _cfg(tmp_path, **kw):
@@ -54,6 +55,7 @@ def test_cv_artifacts_and_aggregate(tmp_path):
     assert sum(1 for line in events.open() if '"epoch"' in line) == 9
 
 
+@pytest.mark.slow
 def test_cli_out_root_flag(tmp_path, monkeypatch):
     """--out_root redirects both artifact dirs (so two runs can be
     byte-compared with tools/diff_runs.py without cd tricks)."""
@@ -73,6 +75,7 @@ def test_cli_out_root_flag(tmp_path, monkeypatch):
     assert (tmp_path / "r" / "epochs" / "MUTAG_1.npz").exists()
 
 
+@pytest.mark.slow
 def test_cv_resume_skips_completed_folds(tmp_path, capsys):
     gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
     run_cross_validation(_cfg(tmp_path), dataset=gs)
@@ -87,6 +90,7 @@ def test_cv_resume_skips_completed_folds(tmp_path, capsys):
     assert len(result["test_accuracies"]) == 3
 
 
+@pytest.mark.slow
 def test_cv_reproducible(tmp_path):
     gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
     r1 = run_cross_validation(_cfg(tmp_path, statistics_dir=str(tmp_path / "s1"),
@@ -97,6 +101,7 @@ def test_cv_reproducible(tmp_path):
     np.testing.assert_allclose(r1["train_accuracies"], r2["train_accuracies"])
 
 
+@pytest.mark.slow
 def test_fused_run_epochs_equals_sequential():
     """DenseEngine.run_epochs (one fused multi-epoch dispatch) must produce
     the SAME per-epoch metrics and final params as per-epoch execution —
@@ -134,6 +139,7 @@ def test_fused_run_epochs_equals_sequential():
     np.testing.assert_array_equal(np.asarray(kf), np.asarray(ks))
 
 
+@pytest.mark.slow
 def test_fused_coo_run_epochs_equals_sequential():
     """CooEngine.run_epochs (chunked fused dispatch) must match per-epoch
     execution exactly, including across chunk boundaries."""
@@ -180,6 +186,7 @@ def test_sort_pool_percentile():
     assert percentile_sort_pool_k(np.array([2, 3, 4]), 0.6) == 10
 
 
+@pytest.mark.slow
 def test_cv_with_percentile_k(tmp_path):
     gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
     cfg = _cfg(tmp_path, sort_pool_percentile=0.6, num_epochs=2)

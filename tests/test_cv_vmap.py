@@ -28,6 +28,7 @@ def _cfg(tmp_path, sub, **kw):
     return Config(**base)
 
 
+@pytest.mark.slow
 def test_lockstep_matches_sequential(tmp_path):
     """Same dataset/seed → the lockstep driver reproduces the sequential
     driver's per-fold per-epoch CSVs (identical RNG streams; float
@@ -59,6 +60,7 @@ def test_lockstep_matches_sequential(tmp_path):
             np.testing.assert_allclose(vb, va, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_lockstep_artifacts(tmp_path):
     gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
     cfg = _cfg(tmp_path, "v", cv_parallel="folds")
@@ -90,6 +92,7 @@ def test_auto_picks_lockstep_only_when_safe(tmp_path):
     assert buf.getvalue().count("resumed (complete)") == 3
 
 
+@pytest.mark.slow
 def test_lockstep_ragged_step_counts_match_sequential(tmp_path):
     """Folds with FEWER train steps than the lockstep maximum must not
     consume PRNG splits on their padded steps — their dropout streams

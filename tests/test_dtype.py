@@ -11,6 +11,7 @@ from dgcnn_tpu.config import Config
 from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
 from dgcnn_tpu.models.dgcnn import DGCNN, apply, init_params
 from dgcnn_tpu.train.cv import run_cross_validation
+import pytest
 
 
 def _models(gs):
@@ -38,6 +39,7 @@ def test_bf16_forward_close_to_fp32_both_layouts():
         assert agree >= 0.9, agree
 
 
+@pytest.mark.slow
 def test_bf16_cv_trains(tmp_path):
     gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
     cfg = Config(

@@ -71,6 +71,7 @@ def test_partition_invariance_logprobs():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_partition_invariance_loss_and_grads():
     gs, model, params, mesh, halo, batch = _setup()
     loss_fn = make_halo_loss(model, mesh, halo, deterministic=True)
@@ -151,6 +152,7 @@ def test_oversubscribed_slots_rejected():
         pack_batch_halo(gs, np.arange(16), 1, 64, E_S, 2, halo)
 
 
+@pytest.mark.slow
 def test_epoch_makers_match_dp_engine_metrics():
     """make_halo_train_epoch/make_halo_eval_epoch (scanned epochs on the
     mesh) produce the same per-epoch metrics as the replicated-node DP
@@ -204,6 +206,7 @@ def test_epoch_makers_match_dp_engine_metrics():
     assert float(tr_loss) < first
 
 
+@pytest.mark.slow
 def test_mesh_halo_engine_cv(tmp_path):
     """`--layout halo --mesh 2,4` end-to-end through run_cross_validation
     on the virtual 8-device mesh: artifacts written, sane accuracy."""

@@ -7,8 +7,10 @@ from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
 from dgcnn_tpu.infer import load_fold_params, main, predict_dataset
 from dgcnn_tpu.models.dgcnn import DGCNN
 from dgcnn_tpu.train.cv import run_cross_validation
+import pytest
 
 
+@pytest.mark.slow
 def test_predict_from_fold_checkpoint(tmp_path):
     gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
     cfg = Config(
@@ -36,6 +38,7 @@ def test_predict_from_fold_checkpoint(tmp_path):
     assert max(accs) > 0.7, accs
 
 
+@pytest.mark.slow
 def test_infer_cli(tmp_path, capsys):
     gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
     cfg = Config(

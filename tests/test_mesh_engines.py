@@ -82,6 +82,7 @@ def test_dense_dp_eval_matches_single_device():
 
 
 @pytest.mark.parametrize("mesh", [(2, 2), (4, 2)])
+@pytest.mark.slow
 def test_cv_runs_on_mesh_host_coo(tmp_path, mesh):
     """The host-packing mesh COO engine stays available as a fallback."""
     gs = synthesize_tu_dataset("MUTAG", num_graphs=48, seed=5)

@@ -41,6 +41,7 @@ def test_plan_tiles_and_routing():
         )
 
 
+@pytest.mark.slow
 def test_build_on_device_with_empty_tile_class():
     """A caller-chosen ladder may leave a bracket with zero graphs; the
     device build (incl. its fence) must produce an empty class, matching
@@ -72,6 +73,7 @@ def test_route_order_rows_overflow():
         route_order_rows(r, np.array([0, 1, 2]), [2])
 
 
+@pytest.mark.slow
 def test_multi_dense_logits_match_coo():
     gs = _dd_like()
     model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
@@ -105,6 +107,7 @@ def test_multi_dense_logits_match_coo():
     np.testing.assert_allclose(got, want[order], rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_multi_engine_matches_device_coo_engine():
     """No-dropout model → identical per-epoch rows between the multi-tile
     dense engine and the device-COO engine (same batches, same updates)."""
@@ -143,6 +146,7 @@ def test_auto_layout_picks_block_for_heavy_tail():
     assert multi_dense_bytes(gs, plan_tiles(gs.node_counts(), 256)) > 0
 
 
+@pytest.mark.slow
 def test_multi_cv_runs_and_learns(tmp_path):
     gs = _dd_like(n=40, seed=5)
     cfg = Config(

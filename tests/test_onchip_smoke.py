@@ -75,8 +75,14 @@ _BLOCK_PALLAS = textwrap.dedent(
             hb, blocks, batch.item_row, batch.item_col,
             batch.item_permT, batch.item_colT,
         )
+        # bf16-grade tolerance: the TPU MXU's DEFAULT precision rounds
+        # operands to bf16, and for narrow F XLA may lower the reference
+        # einsum to fp32 VPU ops while the kernel's dot stays on the MXU
+        # (measured: F=1 diverges ~5e-3 abs, F=32 agrees ~1e-6). This is
+        # a LOWERING smoke test — structural bugs (dropped accumulations,
+        # misaligned tiles) show up as O(1) errors, not rounding noise.
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+            np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
         )
         print("F", f, "ok")
     print("BLOCK_PALLAS_COMPILED_OK")

@@ -73,6 +73,7 @@ def test_sharded_loss_matches_single_device():
         assert float(got_correct) == float(want_correct), mesh_shape
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_single_device():
     gs, model, params = _setup(n=24)
     idx = np.arange(24)
@@ -102,6 +103,7 @@ def test_sharded_grads_match_single_device():
 
 
 @pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2), (4, 2)])
+@pytest.mark.slow
 def test_dp_train_epoch_runs_and_learns(mesh_shape):
     gs, model, params = _setup(n=64, seed=3)
     mesh = make_mesh(mesh_shape)
@@ -128,6 +130,7 @@ def test_dp_train_epoch_runs_and_learns(mesh_shape):
     assert correct1 / 64 > 0.55
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device_training():
     """Full deterministic-epoch equivalence: a few eval-mode training steps
     via the DP path equal the single-device path on the same batches

@@ -32,6 +32,7 @@ class _Crash(RuntimeError):
     pass
 
 
+@pytest.mark.slow
 def test_midfold_resume_reproduces_uninterrupted_run(tmp_path, monkeypatch, capsys):
     gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
 

@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 
 def test_release_report_renders(tmp_path):
@@ -79,6 +80,7 @@ def test_diff_runs(tmp_path):
     assert diff_runs.main([str(a), str(b)]) == 1
 
 
+@pytest.mark.slow
 def test_release_validation_dtype_flag(tmp_path):
     """--dtype bfloat16 threads through to the CV run and the summary
     records the completed protocol (2-epoch MUTAG smoke on CPU)."""
@@ -94,6 +96,7 @@ def test_release_validation_dtype_flag(tmp_path):
     assert np.isfinite(row["test_acc_mean"])
 
 
+@pytest.mark.slow
 def test_bench_scaling_mechanics():
     """bench_scaling runs end-to-end on a tiny virtual CPU mesh and emits
     well-formed efficiency JSON (subprocess: it must configure the

@@ -10,6 +10,7 @@ from dgcnn_tpu.batching import compute_bucket, pack_epoch
 from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
 from dgcnn_tpu.models.dgcnn import DGCNN, init_params
 from dgcnn_tpu.train.loop import make_eval_epoch, make_train_epoch
+import pytest
 
 
 def _setup(num_graphs=60, seed=0):
@@ -114,6 +115,7 @@ def test_flat_adam_matches_per_leaf_adam():
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+@pytest.mark.slow
 def test_cv_runs_with_opt_flatten(tmp_path):
     """End-to-end CV smoke with the flattened optimizer, sequential and
     fold-lockstep drivers."""
