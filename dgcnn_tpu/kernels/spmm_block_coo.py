@@ -25,7 +25,8 @@ traffic, no serial scatter):
     acc[r]      += A_item @ h[c]                  ((BS,BS)×(BS,F) dot)
 
 Per-edge cost is 2·BS·(EB+F)·BS/EB FLOPs — INDEPENDENT of N, vs the
-one-hot path's 4·N·F. On a real packed mega-batch (graphs contiguous →
+one-hot path's 4·N·F. (The lower-FLOP re-association
+`sel_dst_w @ (sel_srcᵀ @ h)` measured SLOWER — see _kernel.) On a real packed mega-batch (graphs contiguous →
 near-block-diagonal adjacency, few pairs, full items) this is ~30× fewer
 FLOPs at NCI1 scale; on an adversarial uniform-random graph the
 block-pair structure degenerates (every (r,c) pair occupied, items
@@ -315,7 +316,12 @@ def _kernel(rp_ref, ic_ref, ls_ref, ld_ref, w_ref, h_ref, out_ref, acc, acc2):
         ld = ld_ref[pl.ds(j, 1), :]          # (1, EB) dst % BS
         w = w_ref[pl.ds(j, 1), :]            # (1, EB)
         # A[d, s] = Σ_e w_e·1[ld_e=d]·1[ls_e=s]: mask w into the dst
-        # selector rows, contract the edge axis against the src selector
+        # selector rows, contract the edge axis against the src selector.
+        # NOTE a re-association sel_dst_w @ (sel_srcᵀ @ h[c]) has 2.25×
+        # fewer FLOPs at F=32 but MEASURED SLOWER on v5e (19.7 vs 14.5 µs,
+        # 2026-08-19): both of its dots run at F/128 lane utilization,
+        # while this order's dominant A-build contraction is full-width —
+        # lane utilization beats FLOP count here.
         sel_dst_w = jnp.where(ld == iota, w, 0.0)               # (BS, EB)
         sel_src = (ls == iota).astype(jnp.float32)              # (BS, EB)
         a = jax.lax.dot_general(
