@@ -220,6 +220,20 @@ def spmm_microbench(
             }
             if routed == "onehot" else {}
         ),
+        # the block-pair kernel is VMEM-resident and MXU-bound — its
+        # honest roofline is also the MXU (2·BS²·(EB+F)/EB FLOPs per edge
+        # slot, kernels/spmm_block_coo.py); SoL% would undersell a kernel
+        # that barely touches HBM
+        **(
+            {
+                "mxu_tflops": (bflops := 2.0 * structure.ls.shape[0] * 128
+                               * (structure.meta.eb + num_features) * 128)
+                / per_op / 1e12,
+                "pct_of_mxu": bflops / per_op
+                / (V5E_MXU_BF16_TFLOPS * 1e12) * 100.0,
+            }
+            if routed == "blockcoo_pallas" else {}
+        ),
     }
 
 
