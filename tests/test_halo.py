@@ -238,3 +238,48 @@ def test_halo_layout_requires_mesh():
     cfg = Config(data_type="MUTAG", layout="halo")
     with pytest.raises(ValueError, match="halo"):
         make_engine(cfg, gs, model, optax.adam(1e-3), "halo")
+
+
+@pytest.mark.slow
+def test_partition_invariance_large_graphs_dd_profile():
+    """DD-profile graphs (hundreds of nodes) straddle shard boundaries —
+    the geometry MUTAG never exercises: H is large, graphs span two
+    shards, and ownership windows extend well into neighbors. Logits must
+    still equal the single-device forward."""
+    gs = synthesize_tu_dataset("DD", num_graphs=8, seed=9)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    params = init_params(jax.random.PRNGKey(2), model)
+    mesh = make_mesh((N_DATA, N_GRAPH))
+    halo = halo_width(gs)
+    from dgcnn_tpu.batching.shard_pack import halo_bucket
+
+    bucket = halo_bucket(gs, 4, N_DATA, N_GRAPH)
+    assert bucket.shard_nodes >= halo  # S >= H invariant
+    batch = pack_step_halo(
+        gs, np.arange(8), N_DATA, N_GRAPH, bucket.shard_nodes,
+        bucket.shard_edges, bucket.shard_graphs, bucket.halo,
+    )
+    # at least one graph must actually straddle a shard boundary, or this
+    # test exercises nothing new
+    node_rows_per_shard = batch.node_mask.reshape(
+        N_DATA, N_GRAPH, -1).sum(axis=2)
+    assert (node_rows_per_shard[:, 1:] > 0).any(), node_rows_per_shard
+
+    specs = _halo_pspecs(bucket.halo)
+
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), specs),
+        out_specs=P(("data", "graph")),
+    )
+    def lp_fn(params, batch):
+        local = jax.tree_util.tree_map(lambda a: a[0], batch)
+        return apply_halo(params, model, local)[None]
+
+    lp = np.asarray(lp_fn(params, batch)).reshape(-1, gs.num_classes)
+    got = lp[halo_owned_order(batch)]
+    out = []
+    for part in np.array_split(np.arange(8), N_DATA):
+        b = pack_batch(gs, part, compute_bucket(gs, len(part)))
+        out.append(np.asarray(apply_coo(params, model, b))[: len(part)])
+    want = np.concatenate(out)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
