@@ -38,6 +38,11 @@ def main(argv=None):
                    help="data,graph mesh shapes to sweep")
     p.add_argument("--batch_size", default=50, type=int)
     p.add_argument("--epochs_per_dispatch", default=4, type=int)
+    p.add_argument("--layout", default="coo", choices=["coo", "halo"],
+                   help="mesh engine to sweep: replicated-node device-COO "
+                        "(psum per layer) or halo node sharding (ppermute "
+                        "boundary exchange; graph axis must be >1 to be "
+                        "meaningful)")
     p.add_argument("--force_cpu", default=0, type=int, metavar="N",
                    help="use an N-device virtual CPU mesh (mechanics mode)")
     args = p.parse_args(argv)
@@ -63,7 +68,7 @@ def main(argv=None):
     from dgcnn_tpu.config import Config
     from dgcnn_tpu.data.datasets import load_dataset
     from dgcnn_tpu.models.dgcnn import DGCNN, init_params
-    from dgcnn_tpu.train.cv import MeshDeviceCooEngine
+    from dgcnn_tpu.train.cv import MeshDeviceCooEngine, MeshHaloEngine
 
     gs, meta = load_dataset(args.data_type, allow_download=False,
                             allow_synthetic=True)
@@ -87,11 +92,12 @@ def main(argv=None):
             data_type=args.data_type,
             batch_size=args.batch_size,
             mesh_shape=(n_data, n_graph),
-            layout="coo",
+            layout=args.layout,
         )
         model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
         optimizer = optax.adam(1e-3)
-        engine = MeshDeviceCooEngine(cfg, gs, model, optimizer)
+        cls = MeshHaloEngine if args.layout == "halo" else MeshDeviceCooEngine
+        engine = cls(cfg, gs, model, optimizer)
         engine.begin_fold(train_idx, train_idx[:1])  # minimal eval set
 
         params = init_params(jax.random.PRNGKey(0), model)
