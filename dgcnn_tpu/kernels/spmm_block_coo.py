@@ -61,7 +61,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BS = 128          # node block size (MXU tile)
-DEFAULT_EB = 256  # edges per work item (lane-tile multiple)
+# edges per work item (lane-tile multiple). On-chip sweep (2026-08-19,
+# NCI1-shaped batch): eb=128 and 256 time equal within transport noise,
+# eb=512 ~2x slower (fill drops 0.58 -> 0.41 — padding waste dominates).
+DEFAULT_EB = 256
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 _LANES = 128
