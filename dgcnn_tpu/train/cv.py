@@ -100,7 +100,14 @@ def choose_layout(cfg: Config, dataset: GraphSet) -> str:
     sizes); block-sparse for heavy-tailed datasets (D&D: 2.1× the
     multi-tile dense engine's fp32 epoch time, and ~2.8× less HBM); the
     COO/SpMM path as the memory-safe fallback. The multi-tile dense
-    engine remains available as --layout multi."""
+    engine remains available as --layout multi.
+
+    Measured loser (2026-08-19, on-chip): COLLAB on --layout block —
+    despite ~2% adjacency occupancy in the 512-tile, block does NOT beat
+    dense (36.7 vs 35.7 ms median epoch over 10 folds x 10 epochs) and
+    pays a ~10x larger one-time pool build (6:15 vs 0:39 total wall).
+    The 512-tile dense step is already MXU-bound on fat matmuls; cutting
+    adjacency HBM traffic buys nothing there. Keep dense for COLLAB."""
     if cfg.layout != "auto":
         return cfg.layout
     n_tile = dense_tile(dataset)
