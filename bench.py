@@ -3,8 +3,9 @@
 
 Protocol: full training epochs (forward + backward + Adam update, batch 50,
 identical model/loss to the reference protocol) on each dataset via the
-framework-default path (device-resident dense layout, on-device batch
-gather — what train/cv.py actually runs); headline value = total edges of
+framework-default path (choose_layout: device-resident dense for NCI1,
+size-bucketed multi-tile dense for COLLAB; bf16-stored adjacency —
+what train/cv.py actually runs); headline value = total edges of
 one NCI1 epoch + one COLLAB epoch divided by their summed wall-clock.
 The COO paths (XLA segment-sum and the Pallas gather-scatter kernel) are
 measured on NCI1 and reported on stderr.
@@ -61,9 +62,20 @@ def _train_split(name):
     return gs.subset(perm[: int(gs.num_graphs * 0.9)]), meta
 
 
+def _resolve_adj(adj_dtype):
+    """"auto" → the framework default (Config.resolved_adj_dtype: bf16 on
+    TPU after the MXU-rounding probe, fp32 elsewhere). The headline rows
+    must measure what train/cv.py actually runs."""
+    if adj_dtype != "auto":
+        return adj_dtype
+    from dgcnn_tpu.config import Config
+
+    return Config().resolved_adj_dtype()
+
+
 def _bench_dense(train, epochs_per_dispatch=25, dtype="float32",
-                 adj_dtype=None):
-    """Time the framework-default path: device-resident dense dataset with
+                 adj_dtype="auto"):
+    """Time the framework dense path: device-resident dense dataset with
     on-device batch gather and FUSED multi-epoch dispatch (train/cv.py
     DenseEngine.run_epochs) — `epochs_per_dispatch` full training epochs
     (fresh shuffle each, so no dispatch is cacheable) per timed fetch;
@@ -72,6 +84,8 @@ def _bench_dense(train, epochs_per_dispatch=25, dtype="float32",
     transport round-trip is amortized exactly as in a real training run."""
     import jax
     import optax
+
+    adj_dtype = _resolve_adj(adj_dtype)
 
     from dgcnn_tpu.batching.dense import (
         build_dense_dataset_on_device,
@@ -109,6 +123,96 @@ def _bench_dense(train, epochs_per_dispatch=25, dtype="float32",
             state["p"], state["s"], state["k"], data, order3d, no_eval
         )
         return rows[:, 0].sum()  # fence on the train losses
+
+    best, times = _time_epochs(one_dispatch)
+    return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
+
+
+def _bench_multi(train, epochs_per_dispatch=25, dtype="float32",
+                 adj_dtype="auto", min_tile=256, batch_size=50):
+    """Time the size-bucketed multi-tile dense path (train/cv.py
+    MultiDenseEngine) — the framework-default layout for datasets whose
+    single dense tile is dominated by padding waste and whose 10-fold
+    stack is too big to fold-lockstep (choose_layout: COLLAB's 464-tile
+    holds avg-75-node graphs; bucketing graphs onto their own geometric
+    tiles cut the dominant adjacency-gather stream ~3× and the measured
+    epoch 35.7→20.5 ms). Same fused multi-epoch protocol as
+    _bench_dense; eval excluded."""
+    import jax
+    import optax
+
+    from dgcnn_tpu.batching.multi_dense import (
+        build_multi_dense_on_device,
+        class_batch_counts,
+        plan_tiles,
+        route_order_rows,
+    )
+    from dgcnn_tpu.models.dgcnn import DGCNN, init_params
+    from dgcnn_tpu.train.loop import make_multi_dense_run
+
+    adj_dtype = _resolve_adj(adj_dtype)
+    model = DGCNN(
+        num_features=train.num_features,
+        num_classes=train.num_classes,
+        compute_dtype=dtype,
+    )
+    params = init_params(jax.random.PRNGKey(324), model)
+    optimizer = optax.adam(1e-3)
+    tiles = plan_tiles(train.node_counts(), min_tile)
+    classes, routing = build_multi_dense_on_device(
+        train, tiles, adj_dtype=adj_dtype
+    )
+    if dtype != "float32":
+        import jax.numpy as jnp
+
+        dt = jnp.dtype(dtype)
+        classes = jax.tree_util.tree_map(
+            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, classes
+        )
+    run = make_multi_dense_run(model, optimizer)
+
+    # pre-generate every dispatch's shuffles, then size fixed per-class
+    # slot counts EXACTLY over them (rounded to 4, like the engine's
+    # grow-only floor — a slot change between dispatches would force a
+    # recompile mid-benchmark; an undersized slot raises in
+    # route_order_rows rather than silently truncating)
+    shuffle = np.random.default_rng(7)
+    dispatches = [
+        [shuffle.permutation(train.num_graphs)
+         for _ in range(epochs_per_dispatch)]
+        for _ in range(7)
+    ]
+    need = np.full(len(tiles), 4, dtype=np.int64)
+    for disp in dispatches:
+        for ids in disp:
+            counts = class_batch_counts(routing, ids, batch_size)
+            need = np.maximum(need, counts.max(axis=0))
+    slots = tuple(int(-(-n // 4) * 4) for n in need)
+
+    def epoch_orders(ids):
+        rows = [
+            route_order_rows(routing, ids[i : i + batch_size], slots)
+            for i in range(0, len(ids), batch_size)
+        ]
+        return tuple(
+            np.stack([r[c] for r in rows]) for c in range(len(slots))
+        )
+
+    no_eval = jax.device_put(
+        tuple(np.zeros((0, s), np.int32) for s in slots)
+    )
+    state = {"p": params, "s": optimizer.init(params), "k": jax.random.PRNGKey(0)}
+
+    def one_dispatch(r):
+        per_epoch = [epoch_orders(ids) for ids in dispatches[r + 1]]
+        orders = tuple(
+            np.stack([pe[c] for pe in per_epoch]) for c in range(len(slots))
+        )
+        state["p"], state["s"], state["k"], rows = run(
+            state["p"], state["s"], state["k"], classes,
+            jax.device_put(orders), no_eval,
+        )
+        return rows[:, 0].sum()
 
     best, times = _time_epochs(one_dispatch)
     return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
@@ -225,48 +329,6 @@ def _bench_block(train, epochs_per_dispatch=6, dtype="float32",
     return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
 
 
-def _bench_multi(train, epochs_per_dispatch=4, dtype="float32",
-                 adj_dtype="float32"):
-    """Fused multi-tile dense training epochs (train/cv.py
-    MultiDenseEngine — the default engine for heavy-tailed datasets),
-    eval excluded is not possible here (the engine fuses its own minimal
-    eval); we pass a 1-graph eval set so its cost is negligible."""
-    import jax
-    import optax
-
-    from dgcnn_tpu.config import Config
-    from dgcnn_tpu.models.dgcnn import DGCNN, init_params
-    from dgcnn_tpu.train.cv import MultiDenseEngine
-
-    cfg = Config(data_type="DD", batch_size=50, compute_dtype=dtype,
-                 adj_dtype=adj_dtype)
-    model = DGCNN(num_features=train.num_features, num_classes=train.num_classes)
-    optimizer = optax.adam(1e-3)
-    engine = MultiDenseEngine(cfg, train, model, optimizer)
-    idx = np.arange(train.num_graphs)
-    engine.begin_fold(idx, idx[:1])
-    # pre-grow the per-class slots over the permutations we will time, so
-    # the timed region has no slot-growth recompiles
-    shuffle = np.random.default_rng(7)
-    perms = [
-        np.stack([shuffle.permutation(len(idx)) for _ in range(epochs_per_dispatch)])
-        for _ in range(7)
-    ]
-    engine._slots_for(*[idx[p] for chunk in perms for p in chunk], idx[:1])
-
-    params = init_params(jax.random.PRNGKey(324), model)
-    st = {"p": params, "s": optimizer.init(params), "k": jax.random.PRNGKey(0)}
-
-    def one_dispatch(r):
-        st["p"], st["s"], st["k"], rows = engine.run_epochs(
-            st["p"], st["s"], st["k"], perms[r + 1]
-        )
-        return rows[:, 0].sum()
-
-    best, times = _time_epochs(one_dispatch)
-    return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
-
-
 def _epoch_edges(train):
     # self-loops are stripped at pack time; count edges actually aggregated
     counts = train.edge_counts()
@@ -308,13 +370,23 @@ def main():
     detail, sources = {}, {}
     total_edges = total_time = base_time = 0.0
 
-    splits = {}
+    splits, layouts = {}, {}
     for name in ("NCI1", "COLLAB"):
         train, meta = _train_split(name)
         splits[name] = train
         edges = _epoch_edges(train)
-        best, _times = _bench_dense(train)
+        # measure the layout the CV driver would actually pick for this
+        # dataset (choose_layout: dense+lockstep for NCI1, multi for
+        # COLLAB since 2026-08-19's on-chip A/B)
+        from dgcnn_tpu.config import Config
+        from dgcnn_tpu.train.cv import choose_layout
+
+        layout = choose_layout(Config(data_type=name), train)
+        layouts[name] = layout
+        bench_fn = _bench_multi if layout == "multi" else _bench_dense
+        best, _times = bench_fn(train)
         detail[name] = {
+            "layout": layout,
             "epoch_ms": round(best * 1e3, 2),
             "edges_per_s": round(edges / best, 1),
             "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
@@ -331,24 +403,36 @@ def main():
         # multi-pass MXU decomposition
         for name in ("NCI1", "COLLAB"):
             edges = _epoch_edges(splits[name])
-            best, _times = _bench_dense(splits[name], dtype="bfloat16")
+            fn = _bench_multi if layouts[name] == "multi" else _bench_dense
+            best, _times = fn(splits[name], dtype="bfloat16")
             detail[f"{name}_bf16"] = {
                 "epoch_ms": round(best * 1e3, 2),
                 "edges_per_s": round(edges / best, 1),
                 "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
             }
 
-        # fp32 compute with bf16-STORED adjacency (Config.adj_dtype): the
-        # dominant HBM stream halves while the MXU math is unchanged
-        # (DEFAULT precision rounds fp32 operands to bf16 regardless)
+        # fp32-STORED adjacency comparison rows (bf16 storage is the
+        # framework default on TPU since the MXU-rounding probe — these
+        # quantify what the default saves; the headline rows above
+        # already run bf16 via adj_dtype="auto")
         for name in ("NCI1", "COLLAB"):
             edges = _epoch_edges(splits[name])
-            best, _times = _bench_dense(splits[name], adj_dtype="bfloat16")
-            detail[f"{name}_adjbf16"] = {
+            fn = _bench_multi if layouts[name] == "multi" else _bench_dense
+            best, _times = fn(splits[name], adj_dtype="float32")
+            detail[f"{name}_adjfp32"] = {
                 "epoch_ms": round(best * 1e3, 2),
                 "edges_per_s": round(edges / best, 1),
                 "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
             }
+        # single-tile dense on COLLAB (the pre-2026-08-19 default): the
+        # padding-waste row the multi demotion is measured against
+        edges = _epoch_edges(splits["COLLAB"])
+        best, _times = _bench_dense(splits["COLLAB"])
+        detail["COLLAB_dense"] = {
+            "epoch_ms": round(best * 1e3, 2),
+            "edges_per_s": round(edges / best, 1),
+            "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["COLLAB"] / best, 1),
+        }
 
         # COO kernel comparison on NCI1 (stderr only)
         nci1_train = splits["NCI1"]

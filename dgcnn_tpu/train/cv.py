@@ -92,6 +92,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _lockstep_would_engage(cfg: Config, dataset: GraphSet, n_tile: int) -> bool:
+    """Whether the fold-lockstep vmap driver (train/cv_vmap.py) will run
+    this dataset — mirrors the `use_lockstep` decision in
+    run_cross_validation so choose_layout can account for it (lockstep is
+    dense-only and near-K× faster, so a dataset that locksteps should
+    never be demoted off the dense layout)."""
+    if cfg.cv_parallel == "folds":
+        return True  # explicit request: lockstep runs (dense-only)
+    if cfg.cv_parallel != "auto":
+        return False
+    if cfg.mesh_shape != (1, 1):
+        return False
+    if cfg.checkpoint_resume or cfg.checkpoint_every:
+        return False
+    slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
+    step_bytes = (
+        cfg.num_folds
+        * slots
+        * n_tile
+        * (n_tile + dataset.num_features)
+        * 4
+    )
+    return step_bytes <= cfg.lockstep_max_step_bytes
+
+
 def choose_layout(cfg: Config, dataset: GraphSet) -> str:
     """Pick the batch layout (Config.layout docstring): single-tile dense
     MXU blocks when the dataset's largest graph and the device-resident
@@ -102,12 +127,16 @@ def choose_layout(cfg: Config, dataset: GraphSet) -> str:
     COO/SpMM path as the memory-safe fallback. The multi-tile dense
     engine remains available as --layout multi.
 
-    Measured loser (2026-08-19, on-chip): COLLAB on --layout block —
-    despite ~2% adjacency occupancy in the 512-tile, block does NOT beat
-    dense (36.7 vs 35.7 ms median epoch over 10 folds x 10 epochs) and
-    pays a ~10x larger one-time pool build (6:15 vs 0:39 total wall).
-    The 512-tile dense step is already MXU-bound on fat matmuls; cutting
-    adjacency HBM traffic buys nothing there. Keep dense for COLLAB."""
+    Measured on-chip (2026-08-19, sequential folds, 10 folds x 10
+    epochs on COLLAB): multi 20.5 ms median epoch vs dense 35.7 vs
+    block 36.7 — when the fold-lockstep fast path can NOT engage (the
+    stacked 10-fold step exceeds Config.lockstep_max_step_bytes), the
+    single-tile gather traffic (slots·n_tile²) dominates the step and
+    the size-bucketed multi layout wins; when lockstep DOES engage
+    (NCI1: 7.8 ms/fold-epoch vs multi's 14.8) dense stays the winner.
+    Hence the demotion below is gated on lockstep eligibility AND a
+    ≥2× expected-tile-traffic ratio. Block was the measured loser on
+    COLLAB both ways (plus a ~10× larger one-time pool build)."""
     if cfg.layout != "auto":
         return cfg.layout
     n_tile = dense_tile(dataset)
@@ -123,6 +152,32 @@ def choose_layout(cfg: Config, dataset: GraphSet) -> str:
         and dense_dataset_bytes(dataset, n_tile, adj_bytes)
         <= cfg.dense_max_device_bytes
     ):
+        if cfg.mesh_shape == (1, 1) and not _lockstep_would_engage(
+            cfg, dataset, n_tile
+        ):
+            # Sequential-fold regime: the per-step adjacency gather is
+            # the dominant HBM stream (profile_step.py COLLAB anatomy:
+            # gather ≈ 46% of the full step). If bucketing graphs onto
+            # their own geometric tiles cuts that stream ≥2×, the multi
+            # engine wins despite its per-class program overhead.
+            from dgcnn_tpu.batching.multi_dense import (
+                multi_dense_bytes,
+                plan_tiles,
+            )
+
+            nc = dataset.node_counts()
+            tiles = plan_tiles(nc, cfg.multi_dense_min_tile)
+            if len(tiles) > 1:
+                tile_of = np.asarray(tiles, dtype=np.float64)[
+                    np.searchsorted(np.asarray(tiles), nc, side="left")
+                ]
+                mean_tile_sq = float((tile_of * tile_of).mean())
+                if (
+                    n_tile * n_tile >= 2.0 * mean_tile_sq
+                    and multi_dense_bytes(dataset, tiles)
+                    <= cfg.dense_max_device_bytes
+                ):
+                    return "multi"
         return "dense"
     from dgcnn_tpu.batching.block_sparse import block_graphset_bytes
 
@@ -1241,15 +1296,7 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
     # fold-lockstep execution (train/cv_vmap.py): near-K× throughput for
     # small-dataset CV; per-fold resume needs the sequential driver, and
     # bandwidth-bound datasets (big n_tile) get slower, not faster —
-    # see Config.lockstep_max_step_bytes
-    slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
-    lockstep_step_bytes = (
-        cfg.num_folds
-        * slots
-        * dense_tile(dataset)
-        * (dense_tile(dataset) + dataset.num_features)
-        * 4
-    )
+    # see Config.lockstep_max_step_bytes / _lockstep_would_engage
     if cfg.cv_parallel == "folds":
         # explicit lockstep request: fail loudly on incompatible settings
         # instead of silently building an infeasible dense dataset or
@@ -1272,13 +1319,10 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
             )
         use_lockstep = True
     else:
-        use_lockstep = (
-            cfg.cv_parallel == "auto"
-            and layout == "dense"
-            and cfg.mesh_shape == (1, 1)
-            and not cfg.checkpoint_resume
-            and not cfg.checkpoint_every
-            and lockstep_step_bytes <= cfg.lockstep_max_step_bytes
+        # same predicate choose_layout consulted (a dense dataset that
+        # locksteps is never demoted to multi; one that can't may be)
+        use_lockstep = layout == "dense" and _lockstep_would_engage(
+            cfg, dataset, dense_tile(dataset)
         )
     from dgcnn_tpu.utils.platform import DispatchWatchdog
 

@@ -146,6 +146,25 @@ def test_auto_layout_picks_block_for_heavy_tail():
     assert multi_dense_bytes(gs, plan_tiles(gs.node_counts(), 256)) > 0
 
 
+def test_auto_layout_demotes_padding_wasteful_dense_to_multi():
+    """COLLAB regime (measured on-chip 2026-08-19: multi 20.5 ms vs dense
+    35.7): a dataset whose dense tile dwarfs its typical graph AND whose
+    10-fold stack exceeds the lockstep budget resolves to multi; the same
+    dataset stays dense whenever fold-lockstep can engage (NCI1 regime:
+    lockstep dense 7.8 ms/fold-epoch vs multi 14.8)."""
+    gs = synthesize_tu_dataset("COLLAB", num_graphs=500, seed=2)
+    assert choose_layout(Config(data_type="COLLAB"), gs) == "multi"
+    # raising the lockstep budget flips it back to (lockstep) dense
+    big = Config(data_type="COLLAB", lockstep_max_step_bytes=1 << 40)
+    assert choose_layout(big, gs) == "dense"
+    # explicit lockstep request is dense-only — never demoted
+    folds = Config(data_type="COLLAB", cv_parallel="folds")
+    assert choose_layout(folds, gs) == "dense"
+    # a mesh run must not resolve to the single-chip-only multi engine
+    mesh = Config(data_type="COLLAB", mesh_shape=(2, 1))
+    assert choose_layout(mesh, gs) == "dense"
+
+
 @pytest.mark.slow
 def test_multi_cv_runs_and_learns(tmp_path):
     gs = _dd_like(n=40, seed=5)
