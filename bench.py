@@ -433,6 +433,16 @@ def main():
             "edges_per_s": round(edges / best, 1),
             "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["COLLAB"] / best, 1),
         }
+        # finer multi ladder (min_tile 128): COLLAB's p90 graph is 127
+        # nodes, so a 128-tile bottom bracket quarters the dominant
+        # bracket's gather traffic vs 256 — the Config.multi_dense_min_tile
+        # (--multi_min_tile) A/B row
+        best, _times = _bench_multi(splits["COLLAB"], min_tile=128)
+        detail["COLLAB_multi128"] = {
+            "epoch_ms": round(best * 1e3, 2),
+            "edges_per_s": round(edges / best, 1),
+            "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["COLLAB"] / best, 1),
+        }
 
         # COO kernel comparison on NCI1 (stderr only)
         nci1_train = splits["NCI1"]

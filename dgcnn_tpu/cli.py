@@ -77,6 +77,10 @@ def get_args(argv=None):
                              "einsum + sorted segment-sum; pallas = fused "
                              "CSR-style kernel (kernels/block_pallas.py); "
                              "same math, equality pinned to 1e-6 in tests")
+    parser.add_argument("--multi_min_tile", type=int, default=256,
+                        help="smallest tile of the multi-tile dense "
+                             "geometric ladder (--layout multi; "
+                             "batching/multi_dense.py plan_tiles)")
     parser.add_argument("--opt_flatten", action="store_true",
                         help="run the Adam update on one raveled parameter "
                              "vector (bitwise-identical math, one fused "
@@ -166,6 +170,7 @@ def main(argv=None):
         compute_dtype=opt.dtype,
         adj_dtype=opt.adj_dtype,
         block_impl=opt.block_impl,
+        multi_dense_min_tile=opt.multi_min_tile,
         sort_pool_percentile=opt.sortpool_percentile,
         opt_flatten=opt.opt_flatten,
         checkpoint_resume=opt.resume,

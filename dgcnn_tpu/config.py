@@ -229,6 +229,11 @@ class Config:
             raise ValueError(f"unknown block_impl {self.block_impl!r}")
         if self.coo_assembly not in ("device", "host"):
             raise ValueError(f"unknown coo_assembly {self.coo_assembly!r}")
+        if int(self.multi_dense_min_tile) < 8:
+            raise ValueError(
+                f"multi_dense_min_tile must be ≥8 (sublane-aligned tile); "
+                f"got {self.multi_dense_min_tile!r}"
+            )
         if self.cv_parallel not in ("auto", "folds", "sequential"):
             raise ValueError(f"unknown cv_parallel {self.cv_parallel!r}")
         if self.sort_pool_percentile is not None and not (
