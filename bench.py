@@ -218,6 +218,85 @@ def _bench_multi(train, epochs_per_dispatch=25, dtype="float32",
     return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
 
 
+def _bench_lockstep(gs, data_type, epochs_per_dispatch=25, batch_size=50):
+    """Effective chip throughput of the framework-default small-dataset CV
+    run: all 10 folds train SIMULTANEOUSLY in one vmapped program
+    (train/cv_vmap.py — what run_cross_validation actually dispatches for
+    NCI1 and the other lockstep-eligible datasets). Returns
+    (seconds per lockstep epoch, summed train edges of all folds' epochs):
+    one lockstep epoch performs every fold's full training epoch, so the
+    honest edges/s numerator is the 10-fold sum. Reported on stderr; the
+    headline keeps the conservative single-fold rows."""
+    import jax
+    import optax
+
+    from dgcnn_tpu.batching.dense import (
+        build_dense_dataset_on_device,
+        dense_tile,
+    )
+    from dgcnn_tpu.data.folds import get_folds
+    from dgcnn_tpu.models.dgcnn import DGCNN, init_params
+    from dgcnn_tpu.train.cv_vmap import _stacked_orders, make_dense_vmap_run
+
+    folds = get_folds(gs.y, "", 10, 324, data_type=data_type)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    optimizer = optax.adam(1e-3)
+    data = build_dense_dataset_on_device(
+        gs, dense_tile(gs), adj_dtype=_resolve_adj("auto")
+    )
+    run = make_dense_vmap_run(model, optimizer)
+
+    F = len(folds)
+    slots = -(-batch_size // 8) * 8
+    train_idx_f = [np.asarray(tr, np.int32) for tr, _ in folds]
+    n_train_f = [len(t) for t in train_idx_f]
+    steps_max = int(max(-(-n // batch_size) for n in n_train_f))
+    # train-only throughput (reference "Training Time" rows): zero-step
+    # eval stream, like _bench_dense's no_eval
+    no_eval = jax.device_put(np.zeros((0, F, slots), np.int32))
+
+    def one(f):
+        key = jax.random.fold_in(jax.random.PRNGKey(324), f)
+        init_key, run_key = jax.random.split(key)
+        p = init_params(init_key, model)
+        return p, optimizer.init(p), run_key
+
+    params_f, opt_f, rng_f = jax.jit(
+        lambda: jax.vmap(one)(np.arange(1, F + 1))
+    )()
+    st = {"p": params_f, "s": opt_f, "k": rng_f}
+    shuffle = np.random.default_rng(7)
+
+    def one_dispatch(_):
+        order4d = np.stack(
+            [
+                _stacked_orders(
+                    train_idx_f,
+                    [shuffle.permutation(n) for n in n_train_f],
+                    batch_size, slots, steps_max,
+                )
+                for _ in range(epochs_per_dispatch)
+            ]
+        )
+        st["p"], st["s"], st["k"], rows = run(
+            st["p"], st["s"], st["k"], data, jax.device_put(order4d), no_eval
+        )
+        return rows[:, :, 0].sum()
+
+    best, times = _time_epochs(one_dispatch)
+    # per-graph aggregated-edge counts, self-loops excluded like
+    # _epoch_edges (they are stripped at pack time)
+    loops = np.array(
+        [
+            int((gs.edge_src[s:e] == gs.edge_dst[s:e]).sum())
+            for s, e in zip(gs.edge_ptr[:-1], gs.edge_ptr[1:])
+        ]
+    )
+    counts = gs.edge_counts() - loops
+    edges = float(sum(counts[np.asarray(tr)].sum() for tr, _ in folds))
+    return best / epochs_per_dispatch, edges
+
+
 def _bench_coo(train, impl, epochs_per_dispatch=6):
     """Fused device-resident COO training epochs — the framework's COO
     path (train/cv.py DeviceCooEngine): the flattened graphset lives in
@@ -452,6 +531,26 @@ def main():
             "epoch_ms": round(best * 1e3, 2),
             "edges_per_s": round(nci1_edges / best, 1),
         }
+
+    # effective chip throughput of the REAL NCI1 CV run: the driver
+    # locksteps all 10 folds in one vmapped program, so the chip
+    # aggregates ~10 folds' edges per epoch-wall-second. Stderr-only
+    # context row; the headline above keeps the conservative
+    # single-fold accounting. Non-fatal: the headline must survive it.
+    try:
+        from dgcnn_tpu.data.datasets import load_dataset
+
+        nci1_full, _ = load_dataset(
+            "NCI1", allow_download=False, allow_synthetic=True
+        )
+        ls_epoch_s, ls_edges = _bench_lockstep(nci1_full, "NCI1")
+        detail["NCI1_lockstep10"] = {
+            "epoch_ms": round(ls_epoch_s * 1e3, 2),
+            "edges_per_s": round(ls_edges / ls_epoch_s, 1),
+            "folds_in_lockstep": 10,
+        }
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        print(f"bench.py: lockstep row failed: {exc!r}", file=sys.stderr)
 
     # DD — the heavy-tailed dataset that cannot go single-tile dense;
     # runs the framework-default (auto) block-sparse engine, plus the
