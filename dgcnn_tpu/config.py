@@ -83,7 +83,11 @@ class Config:
     # + SpMM; "halo" = node axis SHARDED over the mesh "graph" axis with
     # ppermute boundary exchange per layer (parallel/halo.py — per-device
     # memory drops 1/n_graph; mesh-only); "auto" picks dense when the
-    # largest graph and the stacked-epoch footprint allow it.
+    # largest graph and the stacked-epoch footprint allow it, EXCEPT the
+    # COLLAB regime: when fold-lockstep can't engage and the single tile
+    # is ≥2× the expected per-graph tile traffic, auto demotes to the
+    # multi-tile ladder (train/cv.py choose_layout — on-chip 2026-08-19:
+    # multi 20.5 ms vs dense 35.7 median COLLAB epoch).
     layout: str = "auto"
     dense_max_nodes: int = 2048
     # smallest tile of the multi-tile dense ladder (batching/multi_dense.py)
