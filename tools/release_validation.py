@@ -36,10 +36,13 @@ def main(argv=None):
                    choices=["float32", "bfloat16"],
                    help="compute dtype (bfloat16 = the documented mixed-"
                         "precision fast path; fp32 params/loss)")
-    p.add_argument("--adj_dtype", default="float32",
+    p.add_argument("--adj_dtype", default="auto",
                    choices=["auto", "float32", "bfloat16"],
                    help="storage dtype of device-resident adjacencies "
-                        "(Config.adj_dtype)")
+                        "(Config.adj_dtype; default mirrors the framework "
+                        "default — auto = bf16 on TPU. A float32 default "
+                        "here once silently measured fp32 DD at 70 ms/epoch "
+                        "vs the framework default's 42)")
     p.add_argument("--block_impl", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="block-sparse propagation impl (Config.block_impl)")
