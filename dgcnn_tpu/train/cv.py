@@ -133,10 +133,15 @@ def choose_layout(cfg: Config, dataset: GraphSet) -> str:
     stacked 10-fold step exceeds Config.lockstep_max_step_bytes), the
     single-tile gather traffic (slots·n_tile²) dominates the step and
     the size-bucketed multi layout wins; when lockstep DOES engage
-    (NCI1: 7.8 ms/fold-epoch vs multi's 14.8) dense stays the winner.
-    Hence the demotion below is gated on lockstep eligibility AND a
-    ≥2× expected-tile-traffic ratio. Block was the measured loser on
-    COLLAB both ways (plus a ~10× larger one-time pool build)."""
+    (NCI1 steady state: lockstep 5.4 ms/fold-epoch train-only /
+    6.0 incl eval, vs multi's 14.8 and sequential dense's 7.2) dense
+    stays the winner. Hence the demotion below is gated on lockstep
+    eligibility AND a ≥2× expected-tile-traffic ratio. Block was the
+    measured loser on COLLAB both ways (plus a ~10× larger one-time
+    pool build). Caution for future A/Bs: a run whose folds fit ONE
+    fused dispatch reports one-time program-load cost inside
+    epoch_seconds (an early 10-epoch lockstep probe read 78 ms/fold-
+    epoch; the 100-epoch steady state is 6.0)."""
     if cfg.layout != "auto":
         return cfg.layout
     n_tile = dense_tile(dataset)

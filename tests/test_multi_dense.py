@@ -151,7 +151,7 @@ def test_auto_layout_demotes_padding_wasteful_dense_to_multi():
     35.7): a dataset whose dense tile dwarfs its typical graph AND whose
     10-fold stack exceeds the lockstep budget resolves to multi; the same
     dataset stays dense whenever fold-lockstep can engage (NCI1 regime:
-    lockstep dense 7.8 ms/fold-epoch vs multi 14.8)."""
+    lockstep dense 6.0 ms/fold-epoch steady-state vs multi 14.8)."""
     gs = synthesize_tu_dataset("COLLAB", num_graphs=500, seed=2)
     assert choose_layout(Config(data_type="COLLAB"), gs) == "multi"
     # raising the lockstep budget flips it back to (lockstep) dense
