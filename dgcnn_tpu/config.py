@@ -140,8 +140,14 @@ class Config:
     # 4 B) stays under this. Small datasets are per-step-overhead-bound
     # (lockstep wins, e.g. NCI1 9.5→6.4 ms/fold-epoch); big dense
     # datasets like COLLAB are bandwidth-bound and lockstep merely
-    # multiplies traffic (29→96 ms/fold-epoch — measured).
-    lockstep_max_step_bytes: int = 64 << 20
+    # multiplies traffic (29→96 ms/fold-epoch — measured). 128 MB after
+    # the 2026-08-19 PROTEINS A/B: its ~72 MB stack sat just over the old
+    # 64 MB cap, but 100-epoch steady state measured lockstep 3.13
+    # ms/fold-epoch vs sequential dense 3.8 (judge such A/Bs on ≥100
+    # epochs — a run whose folds fit one fused dispatch reads one-time
+    # program-load cost into epoch_seconds). COLLAB's ~484 MB stack stays
+    # far above the cap either way.
+    lockstep_max_step_bytes: int = 128 << 20
     # Upper bound on epochs fused into ONE device program dispatch. Fusion
     # amortizes the ~tens-of-ms dispatch latency, but an unbounded fold
     # (100 epochs of a big dataset) becomes a multi-minute single dispatch
