@@ -3,10 +3,14 @@
 
 Protocol: full training epochs (forward + backward + Adam update, batch 50,
 identical model/loss to the reference protocol) on each dataset via the
-framework-default path (choose_layout: device-resident dense for NCI1,
-size-bucketed multi-tile dense for COLLAB; bf16-stored adjacency —
-what train/cv.py actually runs); headline value = total edges of
-one NCI1 epoch + one COLLAB epoch divided by their summed wall-clock.
+framework-default EXECUTION (what train/cv.py actually dispatches):
+NCI1 = all 10 CV folds in one fold-lockstep vmapped program on the
+device-resident dense layout (per-fold-epoch time and the 10-fold edge
+aggregate are reported — the chip really sustains that in the reference
+experiment; a conservative single-fold row ships on stderr), COLLAB =
+sequential folds on the size-bucketed multi-tile dense layout; bf16-stored
+adjacency. Headline value = total edges trained per second across the two
+runs (10 NCI1 fold-epochs + 1 COLLAB epoch over their summed wall-clock).
 The COO paths (XLA segment-sum and the Pallas gather-scatter kernel) are
 measured on NCI1 and reported on stderr.
 
@@ -453,26 +457,58 @@ def main():
     for name in ("NCI1", "COLLAB"):
         train, meta = _train_split(name)
         splits[name] = train
-        edges = _epoch_edges(train)
-        # measure the layout the CV driver would actually pick for this
-        # dataset (choose_layout: dense+lockstep for NCI1, multi for
-        # COLLAB since 2026-08-19's on-chip A/B)
-        from dgcnn_tpu.config import Config
-        from dgcnn_tpu.train.cv import choose_layout
-
-        layout = choose_layout(Config(data_type=name), train)
-        layouts[name] = layout
-        bench_fn = _bench_multi if layout == "multi" else _bench_dense
-        best, _times = bench_fn(train)
-        detail[name] = {
-            "layout": layout,
-            "epoch_ms": round(best * 1e3, 2),
-            "edges_per_s": round(edges / best, 1),
-            "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
-        }
         sources[name] = meta.source
-        total_edges += edges
-        total_time += best
+        # measure the EXACT execution the CV driver picks for this
+        # dataset (choose_layout + the lockstep predicate): NCI1 trains
+        # all 10 folds in one vmapped program (per-fold-epoch time and
+        # the 10-fold edge aggregate are reported — that is what the
+        # chip actually sustains in the reference experiment); COLLAB
+        # runs sequential folds on the multi-tile layout (2026-08-19
+        # on-chip A/Bs, train/cv.py choose_layout)
+        from dgcnn_tpu.batching.dense import dense_tile
+        from dgcnn_tpu.config import Config
+        from dgcnn_tpu.data.datasets import load_dataset
+        from dgcnn_tpu.train.cv import _lockstep_would_engage, choose_layout
+
+        cfg = Config(data_type=name)
+        layout = choose_layout(cfg, train)
+        layouts[name] = layout
+        if layout == "dense" and _lockstep_would_engage(
+            cfg, train, dense_tile(train)
+        ):
+            full_gs, _ = load_dataset(
+                name, allow_download=False, allow_synthetic=True
+            )
+            ls_s, ls_edges = _bench_lockstep(full_gs, name)
+            per_fold = ls_s / 10.0
+            detail[name] = {
+                "layout": "dense",
+                "folds_in_lockstep": 10,
+                "epoch_ms": round(per_fold * 1e3, 2),
+                "edges_per_s": round(ls_edges / ls_s, 1),
+                "vs_ref_epoch": round(
+                    REFERENCE_EPOCH_SECONDS[name] / per_fold, 1
+                ),
+            }
+            # headline accounting stays one epoch per dataset (the
+            # BASELINE.json derivation: one reference epoch each) — the
+            # per-epoch cost in the default execution is one fold's
+            # share of the lockstep dispatch, and the per-epoch edge
+            # count is the 10-fold average
+            total_edges += ls_edges / 10.0
+            total_time += per_fold
+        else:
+            edges = _epoch_edges(train)
+            bench_fn = _bench_multi if layout == "multi" else _bench_dense
+            best, _times = bench_fn(train)
+            detail[name] = {
+                "layout": layout,
+                "epoch_ms": round(best * 1e3, 2),
+                "edges_per_s": round(edges / best, 1),
+                "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
+            }
+            total_edges += edges
+            total_time += best
         base_time += REFERENCE_EPOCH_SECONDS[name]
 
     if full:
@@ -532,25 +568,19 @@ def main():
             "edges_per_s": round(nci1_edges / best, 1),
         }
 
-    # effective chip throughput of the REAL NCI1 CV run: the driver
-    # locksteps all 10 folds in one vmapped program, so the chip
-    # aggregates ~10 folds' edges per epoch-wall-second. Stderr-only
-    # context row; the headline above keeps the conservative
-    # single-fold accounting. Non-fatal: the headline must survive it.
+    # conservative comparison: one NCI1 fold trained alone on the dense
+    # engine (the pre-lockstep accounting; the headline row above
+    # reports the real 10-fold-lockstep dispatch). Non-fatal.
     try:
-        from dgcnn_tpu.data.datasets import load_dataset
-
-        nci1_full, _ = load_dataset(
-            "NCI1", allow_download=False, allow_synthetic=True
-        )
-        ls_epoch_s, ls_edges = _bench_lockstep(nci1_full, "NCI1")
-        detail["NCI1_lockstep10"] = {
-            "epoch_ms": round(ls_epoch_s * 1e3, 2),
-            "edges_per_s": round(ls_edges / ls_epoch_s, 1),
-            "folds_in_lockstep": 10,
+        edges = _epoch_edges(splits["NCI1"])
+        best, _times = _bench_dense(splits["NCI1"])
+        detail["NCI1_singlefold"] = {
+            "epoch_ms": round(best * 1e3, 2),
+            "edges_per_s": round(edges / best, 1),
+            "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["NCI1"] / best, 1),
         }
     except Exception as exc:  # pragma: no cover - diagnostics only
-        print(f"bench.py: lockstep row failed: {exc!r}", file=sys.stderr)
+        print(f"bench.py: single-fold row failed: {exc!r}", file=sys.stderr)
 
     # DD — the heavy-tailed dataset that cannot go single-tile dense;
     # runs the framework-default (auto) block-sparse engine, plus the
