@@ -53,6 +53,30 @@ def get_args(argv=None):
     parser.add_argument("--process_id", default=None, type=int,
                         help="this process's multi-host rank (omit to "
                              "auto-detect)")
+    # model/optimizer hyperparameters (hardcoded in the reference
+    # model.py:13-23 / train.py:98-99; configurable like the original
+    # muhanzhang/pytorch_DGCNN implementation — defaults reproduce the
+    # reference exactly)
+    parser.add_argument("--lr", default=1e-3, type=float,
+                        help="Adam learning rate (reference: optax/torch "
+                             "default 1e-3)")
+    parser.add_argument("--sortpool_k", default=30, type=int,
+                        help="SortPooling k — nodes kept per graph "
+                             "(reference hardcodes 30; overridden by "
+                             "--sortpool_percentile)")
+    parser.add_argument("--hidden_dims", default="32,32,32,1", type=str,
+                        help="comma-separated GCN layer widths (reference: "
+                             "32,32,32,1 — the final 1-wide layer feeds the "
+                             "sort key)")
+    parser.add_argument("--dense_dim", default=128, type=int,
+                        help="width of the penultimate dense layer "
+                             "(reference: 128)")
+    parser.add_argument("--dropout", default=0.5, type=float,
+                        help="dropout rate before the classifier "
+                             "(reference: 0.5)")
+    parser.add_argument("--num_folds", default=10, type=int,
+                        help="cross-validation fold count (reference "
+                             "protocol: 10)")
     parser.add_argument("--spmm", default="auto",
                         choices=["auto", "xla", "onehot", "pallas"],
                         help="COO SpMM kernel implementation")
@@ -171,6 +195,12 @@ def main(argv=None):
         adj_dtype=opt.adj_dtype,
         block_impl=opt.block_impl,
         multi_dense_min_tile=opt.multi_min_tile,
+        learning_rate=opt.lr,
+        sort_pool_k=opt.sortpool_k,
+        hidden_dims=tuple(int(v) for v in opt.hidden_dims.split(",")),
+        dense_dim=opt.dense_dim,
+        dropout_rate=opt.dropout,
+        num_folds=opt.num_folds,
         sort_pool_percentile=opt.sortpool_percentile,
         opt_flatten=opt.opt_flatten,
         checkpoint_resume=opt.resume,

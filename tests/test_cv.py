@@ -75,6 +75,35 @@ def test_cli_out_root_flag(tmp_path, monkeypatch):
     assert (tmp_path / "r" / "epochs" / "MUTAG_1.npz").exists()
 
 
+def test_cli_hyperparameter_flags():
+    """--lr/--sortpool_k/--hidden_dims/--dense_dim/--dropout/--num_folds
+    plumb to Config (defaults reproduce the reference's hardcoded values,
+    reference model.py:13-23, train.py:98-99)."""
+    from dgcnn_tpu.cli import get_args
+
+    opt = get_args(["--data_type", "MUTAG"])
+    assert (opt.lr, opt.sortpool_k, opt.dense_dim, opt.dropout,
+            opt.num_folds) == (1e-3, 30, 128, 0.5, 10)
+    assert tuple(int(v) for v in opt.hidden_dims.split(",")) == (32, 32, 32, 1)
+    defaults = Config(data_type="MUTAG")
+    assert defaults.learning_rate == opt.lr
+    assert defaults.sort_pool_k == opt.sortpool_k
+    assert defaults.hidden_dims == (32, 32, 32, 1)
+
+    opt = get_args([
+        "--data_type", "MUTAG", "--lr", "0.005", "--sortpool_k", "20",
+        "--hidden_dims", "16,16,1", "--dense_dim", "64",
+        "--dropout", "0.3", "--num_folds", "3",
+    ])
+    cfg = Config(
+        data_type="MUTAG", learning_rate=opt.lr, sort_pool_k=opt.sortpool_k,
+        hidden_dims=tuple(int(v) for v in opt.hidden_dims.split(",")),
+        dense_dim=opt.dense_dim, dropout_rate=opt.dropout,
+        num_folds=opt.num_folds,
+    )
+    assert cfg.hidden_dims == (16, 16, 1) and cfg.num_folds == 3
+
+
 @pytest.mark.slow
 def test_cv_resume_skips_completed_folds(tmp_path, capsys):
     gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
