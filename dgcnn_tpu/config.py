@@ -132,8 +132,10 @@ class Config:
     # via vmap over a fold axis (near-K× throughput on small datasets —
     # per-fold protocol and metrics are unchanged, see train/cv_vmap.py);
     # "sequential" runs folds one at a time; "auto" picks lockstep for the
-    # single-chip dense layout when per-fold resume isn't requested
-    # (lockstep folds can't resume individually).
+    # single-chip dense layout. Checkpoint/resume works in lockstep too:
+    # one stacked inflight bundle advances every fold together
+    # (train/cv_vmap.py) — folds can't pause individually, so a resume
+    # continues the whole run from the last chunk boundary.
     cv_parallel: str = "auto"
     # auto-lockstep gate: train folds in lockstep only while the stacked
     # per-step dense working set (folds × slots × n_tile × (n_tile + F) ×

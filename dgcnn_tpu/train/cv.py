@@ -104,8 +104,6 @@ def _lockstep_would_engage(cfg: Config, dataset: GraphSet, n_tile: int) -> bool:
         return False
     if cfg.mesh_shape != (1, 1):
         return False
-    if cfg.checkpoint_resume or cfg.checkpoint_every:
-        return False
     slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
     step_bytes = (
         cfg.num_folds
@@ -1299,13 +1297,14 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
         optimizer = flatten_optimizer(optimizer)
 
     # fold-lockstep execution (train/cv_vmap.py): near-K× throughput for
-    # small-dataset CV; per-fold resume needs the sequential driver, and
-    # bandwidth-bound datasets (big n_tile) get slower, not faster —
-    # see Config.lockstep_max_step_bytes / _lockstep_would_engage
+    # small-dataset CV; bandwidth-bound datasets (big n_tile) get slower,
+    # not faster — see Config.lockstep_max_step_bytes /
+    # _lockstep_would_engage. Checkpoint/resume works in lockstep too:
+    # ONE stacked inflight bundle advances all folds together
+    # (cv_vmap.py), since lockstep folds can't pause individually.
     if cfg.cv_parallel == "folds":
         # explicit lockstep request: fail loudly on incompatible settings
-        # instead of silently building an infeasible dense dataset or
-        # dropping resume semantics
+        # instead of silently building an infeasible dense dataset
         problems = []
         if layout != "dense":
             problems.append(
@@ -1314,9 +1313,6 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
             )
         if cfg.mesh_shape != (1, 1):
             problems.append(f"mesh_shape={cfg.mesh_shape} (single chip only)")
-        if cfg.checkpoint_resume or cfg.checkpoint_every:
-            problems.append("checkpoint resume (lockstep folds cannot "
-                            "resume individually)")
         if problems:
             raise ValueError(
                 "cv_parallel='folds' is incompatible with: "
@@ -1337,6 +1333,29 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
     watchdog = DispatchWatchdog(900, f"{cfg.data_type} first fold").start()
 
     if use_lockstep:
+        if cfg.checkpoint_resume:
+            # completed-run fast path (lockstep writes fold CSVs at run
+            # end, so either every fold is complete or none is)
+            done = [
+                _completed_fold_accuracies(
+                    os.path.join(
+                        cfg.statistics_dir,
+                        f"{cfg.data_type}_results_{f}.csv",
+                    ),
+                    cfg.num_epochs,
+                )
+                for f in range(1, len(folds) + 1)
+            ]
+            if all(d is not None for d in done):
+                for f, d in enumerate(done, start=1):
+                    print(
+                        f"[fold {f}] resumed (complete): test {d[1]:.2f}%"
+                    )
+                watchdog.cancel()
+                return _finalize_cv(
+                    cfg, events, [d[0] for d in done], [d[1] for d in done]
+                )
+
         from dgcnn_tpu.train.cv_vmap import run_cv_folds_vmap
 
         try:

@@ -47,7 +47,11 @@ from dgcnn_tpu.data.graphset import GraphSet
 from dgcnn_tpu.models.dgcnn import DGCNN, apply, init_params
 from dgcnn_tpu.train.loop import nll_loss_and_correct
 from dgcnn_tpu.train.metrics import EventLog, FoldMetrics
-from dgcnn_tpu.utils.checkpoint import save_checkpoint
+from dgcnn_tpu.utils.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
 
 
 def make_dense_vmap_run(model: DGCNN, optimizer: optax.GradientTransformation) -> Callable:
@@ -228,11 +232,72 @@ def run_cv_folds_vmap(
         int(dataset.edge_counts()[np.asarray(tr)].sum()) for tr in train_idx_f
     ]
 
+    # checkpoint/resume: ONE stacked bundle for the whole lockstep run
+    # (folds advance together, so per-fold inflight files would be
+    # redundant); same atomic format and shuffle-stream replay as the
+    # sequential driver's per-fold inflight (cv.py run_fold)
+    inflight = os.path.join(
+        cfg.epochs_dir, f"{cfg.data_type}_lockstep_inflight"
+    )
+
+    def _bundle():
+        host_p, host_o = jax.device_get((params_f, opt_f))
+        return {
+            "params_f": host_p,
+            "opt_f": host_o,
+            "rng_f": np.asarray(rng_f),
+            "epoch": np.int64(epoch - 1),
+            "metrics": {
+                c: np.stack([np.asarray(m.rows[c]) for m in metrics_f])
+                for c in FoldMetrics.COLUMNS
+            },
+        }
+
     epoch = 1
+    if cfg.checkpoint_resume and checkpoint_exists(inflight):
+        like = {
+            "params_f": jax.device_get(params_f),
+            "opt_f": jax.device_get(opt_f),
+            "rng_f": np.asarray(rng_f),
+            "epoch": np.int64(0),
+            "metrics": {
+                c: np.zeros((F, 0)) for c in FoldMetrics.COLUMNS
+            },
+        }
+        bundle = load_checkpoint(inflight, like)
+        params_f = jax.device_put(bundle["params_f"])
+        opt_f = jax.device_put(bundle["opt_f"])
+        rng_f = jnp.asarray(bundle["rng_f"])
+        epoch = int(bundle["epoch"]) + 1
+        if epoch > cfg.num_epochs:
+            raise ValueError(
+                f"--resume checkpoint {inflight!r} is at epoch "
+                f"{epoch - 1}, beyond --num_epochs={cfg.num_epochs}: "
+                "refusing to publish a shorter-protocol result. Rerun "
+                "with the original --num_epochs or delete the inflight "
+                "checkpoint."
+            )
+        for f in range(F):
+            metrics_f[f].rows = {
+                c: list(map(float, bundle["metrics"][c][f]))
+                for c in FoldMetrics.COLUMNS
+            }
+        # replay each fold's shuffle stream so epoch k sees the same
+        # permutation it would have in an uninterrupted run
+        for rng, n in zip(shuffles, n_train_f):
+            for _ in range(epoch - 1):
+                rng.permutation(n)
+        print(f"[all folds] resumed at epoch {epoch} (lockstep)")
+
     while epoch <= cfg.num_epochs:
         k = cfg.num_epochs - epoch + 1
         if cfg.max_fused_epochs:
             k = min(k, cfg.max_fused_epochs)
+        if cfg.checkpoint_every:
+            k = min(
+                k,
+                cfg.checkpoint_every - (epoch - 1) % cfg.checkpoint_every,
+            )
         order4d = np.stack(
             [
                 _stacked_orders(
@@ -281,6 +346,8 @@ def run_cv_folds_vmap(
                 )
                 print(f"[all folds] epoch {epoch + j}: test% [{accs}] ({dt:.2f}s)")
         epoch += k
+        if cfg.checkpoint_every and (epoch - 1) % cfg.checkpoint_every == 0:
+            save_checkpoint(inflight, _bundle())
 
     # per-fold artifacts, identical to the sequential driver. ONE device
     # fetch for the whole stacked state — per-leaf-per-fold slicing costs
@@ -305,4 +372,9 @@ def run_cv_folds_vmap(
             f"[{f + 1}] Train Acc: {train_accs[-1]:.2f}% "
             f"Test Acc: {test_accs[-1]:.2f}%"
         )
+    for suffix in (".npz", ".treedef.json"):
+        try:
+            os.remove(inflight + suffix)
+        except OSError:
+            pass
     return train_accs, test_accs

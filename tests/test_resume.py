@@ -61,7 +61,9 @@ def test_midfold_resume_reproduces_uninterrupted_run(tmp_path, monkeypatch, caps
     monkeypatch.setattr(cv_mod.EventLog, "write", exploding_write)
     with pytest.raises(_Crash):
         run_cross_validation(
-            _cfg(tmp_path, "crash", checkpoint_every=1), dataset=gs
+            _cfg(tmp_path, "crash", checkpoint_every=1,
+                 cv_parallel="sequential"),
+            dataset=gs,
         )
     monkeypatch.setattr(cv_mod.EventLog, "write", orig_write)
     assert (tmp_path / "epochs_crash" / "MUTAG_1_inflight.npz").exists()
@@ -70,7 +72,8 @@ def test_midfold_resume_reproduces_uninterrupted_run(tmp_path, monkeypatch, caps
     # uninterrupted run byte-for-byte
     capsys.readouterr()
     run_cross_validation(
-        _cfg(tmp_path, "crash", checkpoint_every=1, checkpoint_resume=True),
+        _cfg(tmp_path, "crash", checkpoint_every=1, checkpoint_resume=True,
+             cv_parallel="sequential"),
         dataset=gs,
     )
     out = capsys.readouterr().out
@@ -79,6 +82,62 @@ def test_midfold_resume_reproduces_uninterrupted_run(tmp_path, monkeypatch, caps
     assert got == want
     # inflight bundle cleaned up after fold completion
     assert not (tmp_path / "epochs_crash" / "MUTAG_1_inflight.npz").exists()
+
+
+@pytest.mark.slow
+def test_lockstep_resume_reproduces_uninterrupted_run(tmp_path, monkeypatch, capsys):
+    """The fold-lockstep driver (the auto default for small dense datasets)
+    checkpoints ONE stacked bundle and resumes every fold together at the
+    chunk boundary, bitwise vs its own uninterrupted run."""
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
+
+    # uninterrupted lockstep reference at the same chunking
+    run_cross_validation(
+        _cfg(tmp_path, "lsfull", checkpoint_every=1), dataset=gs
+    )
+    want = [
+        (tmp_path / "stats_lsfull" / f"MUTAG_results_{f}.csv").read_text()
+        for f in (1, 2)
+    ]
+
+    # crash at epoch 4's event (epoch-3 stacked bundle already on disk)
+    orig_write = cv_mod.EventLog.write
+
+    def exploding_write(self, **event):
+        if event.get("kind") == "epoch" and event.get("epoch") == 4:
+            raise _Crash()
+        return orig_write(self, **event)
+
+    monkeypatch.setattr(cv_mod.EventLog, "write", exploding_write)
+    with pytest.raises(_Crash):
+        run_cross_validation(
+            _cfg(tmp_path, "lscrash", checkpoint_every=1), dataset=gs
+        )
+    monkeypatch.setattr(cv_mod.EventLog, "write", orig_write)
+    assert (tmp_path / "epochs_lscrash" / "MUTAG_lockstep_inflight.npz").exists()
+
+    capsys.readouterr()
+    run_cross_validation(
+        _cfg(tmp_path, "lscrash", checkpoint_every=1, checkpoint_resume=True),
+        dataset=gs,
+    )
+    out = capsys.readouterr().out
+    assert "resumed at epoch 4 (lockstep)" in out
+    for f in (1, 2):
+        got = (tmp_path / "stats_lscrash" / f"MUTAG_results_{f}.csv").read_text()
+        assert got == want[f - 1]
+    assert not (
+        tmp_path / "epochs_lscrash" / "MUTAG_lockstep_inflight.npz"
+    ).exists()
+
+    # a completed lockstep run resumes as complete without retraining
+    capsys.readouterr()
+    run_cross_validation(
+        _cfg(tmp_path, "lscrash", checkpoint_every=1, checkpoint_resume=True),
+        dataset=gs,
+    )
+    out = capsys.readouterr().out
+    assert out.count("resumed (complete)") == 2
 
 
 def test_resume_beyond_requested_epochs_refuses(tmp_path, monkeypatch):
