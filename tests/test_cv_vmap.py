@@ -118,15 +118,19 @@ def test_lockstep_ragged_step_counts_match_sequential(tmp_path):
 
 
 def test_lockstep_explicit_request_validates(tmp_path):
+    """cv_parallel='folds' fails loudly on an incompatible layout/mesh;
+    checkpoint resume is NOT in the incompatible set anymore (lockstep
+    resumes via one stacked inflight bundle — covered end-to-end by
+    tests/test_resume.py::test_lockstep_resume_reproduces_uninterrupted_run)."""
     import pytest
 
     gs = synthesize_tu_dataset("MUTAG", num_graphs=40, seed=5)
-    with pytest.raises(ValueError, match="resume"):
-        run_cross_validation(
-            _cfg(tmp_path, "x", cv_parallel="folds", checkpoint_resume=True),
-            dataset=gs,
-        )
     with pytest.raises(ValueError, match="layout"):
         run_cross_validation(
             _cfg(tmp_path, "y", cv_parallel="folds", layout="coo"), dataset=gs
+        )
+    with pytest.raises(ValueError, match="mesh"):
+        run_cross_validation(
+            _cfg(tmp_path, "z", cv_parallel="folds", mesh_shape=(2, 1)),
+            dataset=gs,
         )
