@@ -82,17 +82,14 @@ def _strip_self_loops(
     return src[keep], dst[keep]
 
 
-@torch.no_grad()
-def forward_activations(
-    state: Dict[str, np.ndarray],   # params_to_torch_state output
+def _forward(
+    st: Dict[str, torch.Tensor],
     graphs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],  # (x, src, dst)
-    k: int = 30,
-    num_gcn_layers: int = 4,
-) -> Dict[str, np.ndarray]:
-    """Full reference forward over a list of graphs → the same activation
-    dict layout as parity.harness.dump_activations (real rows only):
-    gcn1..gcnL [ΣN, C], sort_pool [B, k, ΣC], log_probs [B, classes]."""
-    st = {kk: torch.as_tensor(np.array(v)) for kk, v in state.items()}
+    k: int,
+    num_gcn_layers: int,
+) -> Tuple[Dict[str, List[torch.Tensor]], torch.Tensor, torch.Tensor]:
+    """Differentiable reference forward (model.py:26-45) on torch tensors →
+    (per-layer activation lists, pooled [B,k,C], log_probs [B,classes])."""
     acts: Dict[str, List[torch.Tensor]] = {
         f"gcn{i + 1}": [] for i in range(num_gcn_layers)
     }
@@ -117,8 +114,6 @@ def forward_activations(
         per_graph_cat.append(torch.cat(layer_outs, dim=-1))
 
     pooled = _sort_pool(per_graph_cat, k)  # [B, k, C]
-    out = {kk: torch.cat(v).numpy() for kk, v in acts.items()}
-    out["sort_pool"] = pooled.numpy()
 
     # readout head on the REAL torch ops (reference model.py:36-43)
     b = pooled.shape[0]
@@ -142,8 +137,64 @@ def forward_activations(
     t = torch.nn.functional.linear(
         t, st["classifier_2.weight"], st["classifier_2.bias"]
     )
-    out["log_probs"] = torch.log_softmax(t, dim=-1).numpy()
+    return acts, pooled, torch.log_softmax(t, dim=-1)
+
+
+@torch.no_grad()
+def forward_activations(
+    state: Dict[str, np.ndarray],   # params_to_torch_state output
+    graphs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],  # (x, src, dst)
+    k: int = 30,
+    num_gcn_layers: int = 4,
+) -> Dict[str, np.ndarray]:
+    """Full reference forward over a list of graphs → the same activation
+    dict layout as parity.harness.dump_activations (real rows only):
+    gcn1..gcnL [ΣN, C], sort_pool [B, k, ΣC], log_probs [B, classes]."""
+    st = {kk: torch.as_tensor(np.array(v)) for kk, v in state.items()}
+    acts, pooled, log_probs = _forward(st, graphs, k, num_gcn_layers)
+    out = {kk: torch.cat(v).numpy() for kk, v in acts.items()}
+    out["sort_pool"] = pooled.numpy()
+    out["log_probs"] = log_probs.numpy()
     return out
+
+
+def train_trajectory(
+    state: Dict[str, np.ndarray],   # params_to_torch_state output
+    graphs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],  # (x, src, dst)
+    labels: np.ndarray,             # [B] int graph labels
+    num_steps: int = 5,
+    lr: float = 1e-3,
+    k: int = 30,
+    num_gcn_layers: int = 4,
+) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    """The reference TRAINING step, run for `num_steps` full-batch steps:
+    NLL loss on the log-probs → backward → `torch.optim.Adam` with all-default
+    hyperparameters (lr=1e-3, betas=(0.9, 0.999), eps=1e-8) → zero_grad —
+    exactly reference train.py:39-42 with dropout disabled (the one
+    framework-nondeterministic op; its masking semantics are pinned
+    separately in tests/test_model.py).
+
+    Returns (per-step losses [num_steps], final state_dict arrays) so the
+    JAX step's loss AND parameter trajectories can be checked against
+    torch autograd + torch Adam — the backward/optimizer halves of the
+    golden-parity contract (forward halves: forward_activations above).
+    """
+    st = {
+        kk: torch.as_tensor(np.array(v)).clone().requires_grad_(True)
+        for kk, v in state.items()
+    }
+    opt = torch.optim.Adam(list(st.values()), lr=lr)
+    y = torch.as_tensor(np.asarray(labels)).long()
+    losses = []
+    for _ in range(num_steps):
+        _, _, log_probs = _forward(st, graphs, k, num_gcn_layers)
+        loss = torch.nn.functional.nll_loss(log_probs, y)  # train.py:39
+        loss.backward()        # train.py:40
+        opt.step()             # train.py:41
+        opt.zero_grad()        # train.py:42
+        losses.append(float(loss.detach()))
+    final = {kk: v.detach().numpy() for kk, v in st.items()}
+    return np.asarray(losses, np.float64), final
 
 
 def graphs_from_graphset(gs) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 import time
 from typing import Optional, Tuple
 
@@ -1009,8 +1010,38 @@ class MeshBlockEngine(EngineBase):
         )
 
 
+def _warn_measured_losers(cfg: Config, layout: str) -> None:
+    """Explicitly selected paths that measured SLOWER than the defaults
+    print their recorded on-chip A/B so nobody inherits a silent
+    regression (VERDICT r2 #7). They stay selectable: both are correct,
+    and the numbers below are shape-dependent (re-measure before trusting
+    them on exotic shapes)."""
+    if cfg.block_impl == "pallas" and layout == "block":
+        print(
+            "[dgcnn_tpu] note: --block_impl pallas is a measured LOSER vs "
+            "the default XLA formulation on the DD anatomy (2026-08-19 "
+            "v5e: fwd 712 vs 440 µs, full step 2876 vs 1763 µs over "
+            "floor — per-item HBM→VMEM DMA latency at 128×128 blocks); "
+            "kept for A/Bs (kernels/block_pallas.py docstring has the "
+            "full record)",
+            file=sys.stderr,
+        )
+    if cfg.spmm_impl == "pallas" and layout in ("coo",):
+        print(
+            "[dgcnn_tpu] note: --spmm pallas prefers the block-pair COO "
+            "kernel (the measured auto winner: 14.5 µs/op vs one-hot "
+            "19.3 on the NCI1 microbench); where its structures/fit "
+            "gates fail it falls back to kernels/spmm_pallas.py whose "
+            "per-edge gather kernel measured 58.3 µs/op — 5.3× slower "
+            "than the winner (BENCH_r02 spmm rows). Default --spmm auto "
+            "never selects that fallback",
+            file=sys.stderr,
+        )
+
+
 def make_engine(cfg: Config, dataset: GraphSet, model: DGCNN,
                 optimizer: optax.GradientTransformation, layout: str):
+    _warn_measured_losers(cfg, layout)
     if layout == "halo" and cfg.mesh_shape == (1, 1):
         raise ValueError(
             "layout='halo' shards the node axis over the mesh 'graph' "

@@ -115,6 +115,72 @@ def test_full_network_matches_torch_dense_layout():
     compare_dumps(ours, theirs, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "name", ["PROTEINS", "IMDB-BINARY"]  # attr-bearing and degree-only shapes
+)
+def test_train_step_matches_torch(name):
+    """Backward + optimizer parity: 5 full-batch TRAINING steps of the
+    reference update rule (NLL backward → all-default Adam → zero_grad,
+    reference train.py:39-42, dropout off) through torch autograd +
+    `torch.optim.Adam` versus our `value_and_grad` + `optax.adam` step
+    (train/loop.py _make_step). Loss trajectory AND final parameters must
+    agree — this pins the gradient of every op (SpMM transpose, sort_pool
+    gather, conv/pool/linear) and the optimizer math, the two halves of
+    the training step that forward-activation parity cannot see."""
+    import optax
+
+    from dgcnn_tpu.parity.torch_oracle import train_trajectory
+    from dgcnn_tpu.train.loop import nll_loss_and_correct
+
+    n_graphs = 8
+    num_steps = 5
+    gs = synthesize_tu_dataset(name, num_graphs=n_graphs, seed=13)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    params = init_params(jax.random.PRNGKey(5), model)
+
+    # torch side: same initial weights, per-graph COO lists
+    torch_losses, torch_final = train_trajectory(
+        params_to_torch_state(params, model),
+        graphs_from_graphset(gs),
+        gs.y[:n_graphs],
+        num_steps=num_steps,
+        k=model.sort_pool_k,
+        num_gcn_layers=len(model.hidden_dims),
+    )
+
+    # our side: the real step body (value_and_grad + optax.adam defaults),
+    # deterministic=True ≡ the oracle's dropout-off contract
+    from dgcnn_tpu.models.dgcnn import apply
+
+    batch = pack_batch(gs, np.arange(n_graphs), compute_bucket(gs, n_graphs))
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p):
+        lp = apply(p, model, batch, deterministic=True)
+        loss, _ = nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+        return loss
+
+    step = jax.jit(
+        lambda p, s: (jax.value_and_grad(loss_fn)(p), s)
+    )
+    ours_losses = []
+    for _ in range(num_steps):
+        (loss, grads), _ = step(params, None)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ours_losses.append(float(loss))
+
+    np.testing.assert_allclose(ours_losses, torch_losses, rtol=1e-5, atol=1e-7)
+    ours_final = params_to_torch_state(params, model)
+    assert set(ours_final) == set(torch_final)
+    for key in torch_final:
+        np.testing.assert_allclose(
+            ours_final[key], torch_final[key], rtol=1e-4, atol=1e-6,
+            err_msg=f"param trajectory diverged at {key}",
+        )
+
+
 def test_sort_pool_tie_semantics_match_torch():
     """Exact ties on the sort key (channel −1) through all three sorts —
     the COO global lexicographic sort, the dense masked top_k, and torch's

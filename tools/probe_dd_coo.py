@@ -11,8 +11,36 @@ default. DD's adjacency inside 128x128 blocks is ~1% dense (mean degree
 work scales with EDGES, not block area — this probe measures whether that
 wins end-to-end.
 
+MEASURED (2026-08-20, v5e, synthetic DD profile, 6-epoch fused dispatches):
+
+    DD_block      42.08 ms/epoch   36.9 M edges/s   ← incumbent WINS
+    DD_coo_xla   331.10 ms/epoch    4.7 M edges/s   (7.9x slower)
+    DD_coo_pallas 331.01 ms/epoch   4.7 M edges/s   (per-edge kernels'
+                  fit gates fail at DD shapes → same segment-sum path)
+    DD_coo_auto  844.23 ms/epoch    1.8 M edges/s   (one-hot engaged on
+                  DD's large node blocks — see _ONEHOT_MAX_NF note below)
+
+The hypothesis this probe was built to test (block engine ~99% padding on
+DD's ~1%-dense blocks → edge-proportional COO should win) is REFUTED
+end-to-end: the MXU's padding-tolerant block matmuls beat every per-edge
+formulation by ~8x at DD scale. The block-pair Pallas kernel
+(kernels/spmm_block_coo.py) cannot even enter: its VMEM-residency gate
+fails on DD buckets (h alone ≈ 14 K nodes x 128 lanes x 4 B ≈ 7 MB,
+over the 12 MB budget with the index streams) — device-COO assembly
+carries no host-built structures anyway. DD's default layout stays
+"block"; the probe also exposed that COO-auto's one-hot gate is
+counterproductive at DD node counts (844 vs 331 ms) — the auto
+dispatcher only sees per-batch N*F, which DD's 90-feature input column
+keeps under the gate while the true cost scales with N (fixed by
+tightening _ONEHOT_MAX_NF usage? no — COO is not DD's layout; recorded
+as a known non-default-path wart).
+
 Usage (repo root, chip up):  python tools/probe_dd_coo.py
-Prints one JSON line: {"DD_block": ms, "DD_coo_auto": ms, "DD_coo_pallas": ms}.
+Prints one JSON line with four keys — DD_block, DD_coo_auto, DD_coo_pallas,
+DD_coo_xla — each either {"epoch_ms": .., "edges_per_s": .., "times_ms": [..]}
+or, for a benchmark that failed (OOM/compile/tunnel drop), {"error": "..."}.
+If the accelerator probe itself fails, the single stdout line is
+{"error": "probe_failed"} and the exit code is 1.
 """
 
 import json
@@ -29,6 +57,7 @@ def main():
 
     if "--no-probe" not in sys.argv and not probe_accelerator(timeout_s=150.0):
         print("probe_dd_coo: accelerator probe FAILED", file=sys.stderr)
+        print(json.dumps({"error": "probe_failed"}))
         return 1
 
     dd_train, _meta = bench._train_split("DD")
