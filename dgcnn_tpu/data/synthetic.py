@@ -163,8 +163,15 @@ def synthesize_tu_dataset(
         # the smallest COLLAB/IMDB graphs saturate to cliques at the
         # profile density, where no degree-distribution signal can exist —
         # size is the signal that carries them
+        # per-class size shift is SYMMETRIC around the profile mean, so
+        # avg_nodes is preserved whatever the strength; strength and the
+        # assortativity span are profile-tunable (degree-only datasets
+        # only — see the COLLAB signal sweep record below PROFILES)
+        size_shift = p.get("size_shift", 0.2)
+        assort = p.get("assort", 0.7)
         size_mu = p["avg_nodes"] * (
-            (1.0 + 0.2 * (float(y[i]) - (c - 1) / 2.0)) if degree_only else 1.0
+            (1.0 + size_shift * (float(y[i]) - (c - 1) / 2.0))
+            if degree_only else 1.0
         )
         # lognormal(mu, sigma) has MEAN exp(mu + sigma^2/2): subtract
         # sigma^2/2 so size_mu is the distribution's mean, as the profile
@@ -184,7 +191,7 @@ def synthesize_tu_dataset(
             # reach the model through normalization + top-k SortPooling on
             # the larger graphs (it DOES for sub-k graphs, where
             # SortPooling keeps every node — the signals compose)
-            t = 0.7 * (2.0 * float(y[i]) / max(1, c - 1) - 1.0)
+            t = assort * (2.0 * float(y[i]) / max(1, c - 1) - 1.0)
             u, v = _sample_two_block(rng, n, round(n * d / 2.0), t)
         else:
             u, v = _sample_undirected_edges(rng, n, round(n * d / 2.0))

@@ -490,3 +490,37 @@ def test_dress_rehearsal_full_scale_ingestion(tmp_path):
     assert out["round_trip"] == "byte_identical"
     assert out["graphs"] == 4110
     assert out["nodes"] > 100_000 and out["edges"] > 200_000
+
+
+def test_synthetic_signal_knobs_preserve_profile_mean():
+    """The degree-only planted-signal knobs (PROFILES `assort` /
+    `size_shift` — tools/probe_collab_signal.py sweeps them) must not
+    distort the profile's shape statistics: the per-class size shift is
+    symmetric around the mean, so avg nodes/graph stays faithful at any
+    strength, and the default knob values reproduce the v3 generator
+    BIT-IDENTICALLY (no silent dataset change for existing rows)."""
+    from dgcnn_tpu.data import synthetic
+
+    base = dict(synthetic.PROFILES["COLLAB"])
+    gs_default = synthetic.synthesize_tu_dataset("COLLAB", num_graphs=120,
+                                                 seed=7)
+    try:
+        # explicit defaults == implicit defaults, bit-for-bit
+        synthetic.PROFILES["COLLAB"] = dict(base, assort=0.7, size_shift=0.2)
+        gs_explicit = synthetic.synthesize_tu_dataset(
+            "COLLAB", num_graphs=120, seed=7
+        )
+        np.testing.assert_array_equal(gs_default.x, gs_explicit.x)
+        np.testing.assert_array_equal(gs_default.edge_src, gs_explicit.edge_src)
+
+        # stronger knobs: same mean size (±10%), different structure
+        synthetic.PROFILES["COLLAB"] = dict(base, assort=0.9, size_shift=0.3)
+        gs_strong = synthetic.synthesize_tu_dataset(
+            "COLLAB", num_graphs=120, seed=7
+        )
+        mean_default = np.diff(gs_default.node_ptr).mean()
+        mean_strong = np.diff(gs_strong.node_ptr).mean()
+        assert abs(mean_strong - mean_default) / mean_default < 0.10
+        assert gs_strong.node_ptr[-1] != gs_default.node_ptr[-1]
+    finally:
+        synthetic.PROFILES["COLLAB"] = base

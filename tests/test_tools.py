@@ -2,8 +2,11 @@
 mesh scaling benchmark driver."""
 
 import json
+import os
 import subprocess
 import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import pytest
@@ -134,3 +137,73 @@ def test_tensorboard_export_dedupes_replayed_epochs(tmp_path):
             f.write(json.dumps({**row, "epoch": e, "train_loss": 0.1}) + "\n")
     n = export_events(str(ev), str(tmp_path / "runs"))
     assert n == 3 * 6  # 3 unique epochs, not 5
+
+
+def test_predict_scaling_prints_table_and_json():
+    """tools/predict_scaling.py (SCALING.md's v5e-8 efficiency model) must
+    emit the markdown table plus one parseable JSON line whose entries
+    stay in (0, 1] and cover all 8 datasets."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "predict_scaling.py")],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = proc.stdout.strip().splitlines()
+    assert lines[0].startswith("| dataset |")
+    data = json.loads(lines[-1])
+    assert len(data) == 8
+    for name, row in data.items():
+        assert 0.0 < row["eff8_overlap"] <= 1.0, (name, row)
+        assert 0.0 < row["eff8_serial"] < 1.0, (name, row)
+        assert row["eff8_serial"] <= row["eff8_overlap"] + 1e-9
+
+
+def test_kernel_anatomy_variants_interpret_mode():
+    """Every probe_kernel_anatomy kernel variant runs under the Pallas
+    interpreter, and the 'base'/'unroll4' variants reproduce the library
+    kernel's numbers — so the on-chip timings measure the real
+    instruction mix, not a drifted copy."""
+    import importlib.util
+
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.kernels.spmm_block_coo import (
+        build_block_coo,
+        pad_weights,
+        pad_weights_t,
+        spmm_block_coo,
+    )
+    from dgcnn_tpu.utils.profiling import _batch_edges
+
+    spec = importlib.util.spec_from_file_location(
+        "probe_kernel_anatomy",
+        os.path.join(_REPO, "tools", "probe_kernel_anatomy.py"),
+    )
+    pk = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pk)
+    make_kernel, forward = pk._variants()
+
+    rng = np.random.default_rng(0)
+    src, dst, w = _batch_edges(rng, 512, 2048)
+    s = build_block_coo(src, dst, 512)
+    w_pad = jnp.asarray(pad_weights(s, w))
+    h = jnp.asarray(rng.normal(size=(512, 32)).astype(np.float32) * 0.01)
+    lib = np.asarray(
+        spmm_block_coo(s, w_pad, jnp.asarray(pad_weights_t(s, w)), h, True)
+    )
+
+    for mode, n_acc, exact in (
+        ("base", 2, True), ("unroll4", 4, True), ("sel_const", 2, False),
+        ("no_abuild", 2, False), ("no_ah", 2, False), ("empty", 2, False),
+    ):
+        out = np.asarray(forward(
+            make_kernel(mode, n_acc), n_acc,
+            s.row_ptr, s.item_c, s.ls, s.ld, w_pad, h, interpret=True,
+        ))
+        assert np.isfinite(out).all(), mode
+        if exact:
+            np.testing.assert_allclose(out, lib, rtol=1e-5, atol=1e-8,
+                                       err_msg=mode)
