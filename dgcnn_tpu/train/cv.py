@@ -1386,6 +1386,20 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
                 return _finalize_cv(
                     cfg, events, [d[0] for d in done], [d[1] for d in done]
                 )
+            if cfg.cv_parallel != "folds" and any(d is not None for d in done):
+                # PARTIAL completion under AUTO lockstep: honor the
+                # per-fold resume contract (redo only missing folds) by
+                # demoting to the sequential engine — lockstep advances
+                # all folds together and would retrain the completed
+                # ones too. Explicit cv_parallel='folds' keeps lockstep
+                # semantics (documented: folds can't pause individually).
+                print(
+                    "[resume] partial run under auto-lockstep: redoing "
+                    "only the incomplete folds sequentially"
+                )
+                use_lockstep = False
+
+    if use_lockstep:
 
         from dgcnn_tpu.train.cv_vmap import run_cv_folds_vmap
 
