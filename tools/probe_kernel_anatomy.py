@@ -24,6 +24,10 @@ time on the standard microbench shape, plus deeper-unroll candidates:
   no_abuild — A-build dot removed, A = broadcast of w row (WRONG math,
               keeps selector builds + A@h): isolates the big dot
   no_ah     — A@h removed (acc += A[:, :F]): isolates the small dot
+  bf16_sel  — selectors built/fed in bfloat16 (candidate FIX, exact
+              same math: selector values are exactly representable 0/1
+              and w; MXU default precision rounds fp32 operands to bf16
+              anyway, and packed bf16 may halve the VPU sweep)
   empty     — whole item body = acc += const: pure loop/scalar floor
 
 Timings use the unroll+floor-subtraction methodology of
@@ -91,6 +95,16 @@ def _variants():
                         w_ref[pl.ds(0, 1), :], (BS, eb)
                     )
                     sel_src = sel_dst_w
+                elif mode == "bf16_sel":
+                    ls = ls_ref[pl.ds(j, 1), :]
+                    ld = ld_ref[pl.ds(j, 1), :]
+                    # same values (0/1 and w are bf16-exact at these
+                    # magnitudes only if w is — w here is small noise,
+                    # so bf16 w rounds: timing-faithful, math ~equal)
+                    sel_dst_w = jnp.where(
+                        ld == iota, w.astype(jnp.bfloat16), jnp.bfloat16(0)
+                    )
+                    sel_src = (ls == iota).astype(jnp.bfloat16)
                 else:
                     ls = ls_ref[pl.ds(j, 1), :]
                     ld = ld_ref[pl.ds(j, 1), :]
@@ -251,7 +265,7 @@ def main() -> int:
     out = dict(meta)
     for mode, n_acc in (
         ("base", 2), ("unroll4", 4), ("sel_const", 2),
-        ("no_abuild", 2), ("no_ah", 2), ("empty", 2),
+        ("no_abuild", 2), ("no_ah", 2), ("bf16_sel", 2), ("empty", 2),
     ):
         try:
             t = time_variant(mode, n_acc)
