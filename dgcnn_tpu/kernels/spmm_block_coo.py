@@ -285,30 +285,45 @@ def _pad_w(perm: np.ndarray, w: np.ndarray) -> np.ndarray:
 
 
 def block_coo_fits(num_nodes: int, num_features: int, w: int, eb: int) -> bool:
-    """VMEM residency gate: h + out block + acc + 3 [W, EB] streams."""
+    """VMEM residency gate: h + out block + N_ACC accs + 3 [W, EB]
+    streams."""
     fpad = -(-num_features // _LANES) * _LANES
     h_bytes = num_nodes * fpad * 4
     stream_bytes = 3 * w * eb * 4
-    return h_bytes + 3 * BS * fpad * 4 + stream_bytes <= _VMEM_BUDGET
+    return (
+        h_bytes + (1 + N_ACC) * BS * fpad * 4 + stream_bytes <= _VMEM_BUDGET
+    )
 
 
-def _kernel(rp_ref, ic_ref, ls_ref, ld_ref, w_ref, h_ref, out_ref, acc, acc2):
-    """Per output block-row r: walk its item run, two items per loop
-    iteration into two independent accumulators (halves the loop-carried
-    RMW dependence the MXU would otherwise serialize on — measured ~1.6×
-    on v5e at eb=512).
+# independent accumulators = software pipeline depth over the per-item
+# dependent dot pair (A-build → A@h). 2-deep measured ~1.6× over 1 on
+# v5e at eb=512 (round 1); 4-deep measured another ~1.55× over 2 (round
+# 3, tools/probe_kernel_anatomy.py: base 6.46 µs vs unroll4 4.16 on the
+# NCI1 microbench shape) — the MXU sits in the dependence shadow of each
+# item's A-build otherwise. The same probe REFUTED the round-2 "VPU
+# selector builds dominate" hypothesis: sel_const (no per-item selector
+# work) timed ≈ base, while no_abuild cut ~80% — the kernel is bound by
+# the A-build contraction's issue latency, which deeper unrolling hides.
+N_ACC = 4
 
-    Cost anatomy (measured 2026-08-19, NCI1-shaped batch): the A-build
-    contraction dominates — 2·BS²·EB FLOPs/item ≈ 1 MXU cycle per edge
-    slot — with the selector builds a further ~0.5 VPU cycles/slot; the
-    A@h dot adds ~0.5 MXU cycles/slot at F=32. That puts this kernel's
-    compute floor around 2 cycles per padded edge slot, independent of N —
-    vs the one-hot formulation's 4·N·F FLOPs per edge (ops/spmm.py)."""
+
+def _kernel(rp_ref, ic_ref, ls_ref, ld_ref, w_ref, h_ref, out_ref, *accs):
+    """Per output block-row r: walk its item run, N_ACC items per loop
+    iteration into N_ACC independent accumulators (hides the per-item
+    A-build → A@h dependence — see N_ACC note above).
+
+    Cost anatomy (re-measured 2026-08-20, NCI1-shaped batch,
+    tools/probe_kernel_anatomy.py): the A-build contraction dominates
+    (~80% of kernel time); selector builds are ~free (VPU overlaps);
+    the A@h dot adds ~0.5 MXU cycles/slot at F=32. Compute floor ≈
+    1-2 cycles per padded edge slot, independent of N — vs the one-hot
+    formulation's 4·N·F FLOPs per edge (ops/spmm.py)."""
     r = pl.program_id(0)
     start = rp_ref[r]
     n = rp_ref[r + 1] - start
-    acc[...] = jnp.zeros_like(acc)
-    acc2[...] = jnp.zeros_like(acc2)
+    n_acc = len(accs)
+    for a in accs:
+        a[...] = jnp.zeros_like(a)
     eb = ls_ref.shape[1]
     # row ids of the 128-row block, broadcast against the (1, EB) streams
     iota = jax.lax.broadcasted_iota(jnp.int32, (BS, eb), 0)
@@ -337,17 +352,20 @@ def _kernel(rp_ref, ic_ref, ls_ref, ld_ref, w_ref, h_ref, out_ref, acc, acc2):
         )
 
     def body(k, carry):
-        j = start + 2 * k
-        item(j, acc)
-
-        @pl.when(j + 1 < start + n)
-        def _():
-            item(j + 1, acc2)
+        j = start + n_acc * k
+        item(j, accs[0])
+        for t in range(1, n_acc):
+            @pl.when(j + t < start + n)
+            def _(t=t):
+                item(j + t, accs[t])
 
         return carry
 
-    jax.lax.fori_loop(0, (n + 1) // 2, body, 0)
-    out_ref[0] = (acc[...] + acc2[...]).astype(out_ref.dtype)
+    jax.lax.fori_loop(0, (n + n_acc - 1) // n_acc, body, 0)
+    total = accs[0][...]
+    for a in accs[1:]:
+        total = total + a[...]
+    out_ref[0] = total.astype(out_ref.dtype)
 
 
 def _forward(
@@ -369,10 +387,7 @@ def _forward(
         out_specs=pl.BlockSpec(
             (1, BS, f), lambda i, rp, ic: (i, 0, 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((BS, f), jnp.float32),
-            pltpu.VMEM((BS, f), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((BS, f), jnp.float32)] * N_ACC,
     )
     out = pl.pallas_call(
         _kernel,

@@ -40,9 +40,29 @@ equal to the library path.
 Hypothesis going in: the per-item VPU selector sweep is ~2·BS·EB =
 65,536 compare/select lanes against only ~2-3 µs of MXU dot work — if
 (a) dominates, the kernel is VPU-bound and "percent of MXU" was the
-wrong roofline altogether. Measured results are appended to this
-docstring by hand after each on-chip run (see the A/B record below once
-populated); the kernel docstring gets the final accounting.
+wrong roofline altogether.
+
+MEASURED (2026-08-20, v5e, N=2048 F=32 E=8192 batch structure, W=56
+EB=256 fill=0.571; first run shared the host with a pytest gate —
+ratios robust, absolute µs were re-checked on a quiet host, see the
+kernel docstring for the final numbers):
+
+    base (2-acc)   6.46 µs/op
+    unroll4        4.16 µs/op   ← 1.55x WIN — landed as N_ACC=4 in
+                                  kernels/spmm_block_coo.py
+    sel_const      6.92 µs/op   — selector builds ≈ FREE; hypothesis
+                                  (a) REFUTED (VPU overlaps the MXU)
+    no_abuild      1.21 µs/op   — the (BS,EB)x(EB,BS) A-build is ~80%
+                                  of kernel time: hypothesis (b) holds
+                                  (MXU idles in its dependence shadow,
+                                  which is exactly what more
+                                  accumulators fix)
+    no_ah         (noise-negative under contention; A@h is small)
+    bf16_sel      Mosaic INTERNAL compile error through the remote
+                  compile helper on this stack — not pursued; selector
+                  cost is ~0 anyway, so there is nothing for bf16 to
+                  win.
+    empty         (noise-negative under contention)
 
 Usage (repo root, chip up): python tools/probe_kernel_anatomy.py
 Prints one JSON line {variant: us_per_op, ...} (or {"error": ...}).
