@@ -120,6 +120,10 @@ class BlockBatch:
     y:          [slots]
     graph_mask: [slots]
     num_graphs: []
+    num_items:  []       REAL work-item count (≤ W) — lets the chunked
+                         propagation (models/dgcnn.py
+                         block_propagate_chunked) skip padded tail
+                         chunks entirely
     """
 
     x: np.ndarray
@@ -133,6 +137,7 @@ class BlockBatch:
     y: np.ndarray
     graph_mask: np.ndarray
     num_graphs: np.ndarray
+    num_items: np.ndarray
 
 
 jtu.register_pytree_node(
@@ -350,4 +355,5 @@ def gather_block_batch(
         y=y,
         graph_mask=valid.astype(jnp.float32),
         num_graphs=valid.sum().astype(jnp.int32),
+        num_items=wo[slots].astype(jnp.int32),
     )

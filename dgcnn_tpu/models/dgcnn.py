@@ -426,6 +426,157 @@ def _block_propagate_bwd(res, g):
 block_propagate.defvjp(_block_propagate_fwd, _block_propagate_bwd)
 
 
+# Work items per fori_loop iteration of the chunked propagation. The
+# budgets (train/cv.py BlockSparseEngine._budget_for) are epoch-MAX
+# shapes: on DD the mean step carries ~590 real items against a 1280
+# budget (2.2× padded compute, measured 2026-08-20 host-side; the
+# on-chip step anatomy put propagation at 57% of the DD train step).
+# Chunking with a TRACED trip count makes time ∝ real items while every
+# shape stays static — the TPU-idiomatic answer to ragged work.
+_PROP_CHUNK = 256
+
+
+def _pad_items(a, w_pad, fill):
+    w = a.shape[0]
+    if w == w_pad:
+        return a
+    return jnp.concatenate(
+        [a, jnp.full((w_pad - w,), fill, a.dtype)]
+    )
+
+
+@jax.custom_vjp
+def block_propagate_chunked(
+    hb: jax.Array,          # [nb, bs, F] node features as block-rows
+    pool: jax.Array,        # [P, bs, bs] dataset block pool (last = zeros)
+    item_pool: jax.Array,   # [W] pool index per item (sentinel P−1 padded)
+    item_row: jax.Array,    # [W] destination block-row, non-decreasing
+    item_col: jax.Array,    # [W] source block-row (0 when padded)
+    item_permT: jax.Array,  # [W] col-major traversal (identity on padding)
+    item_colT: jax.Array,   # [W] its segment ids, non-decreasing
+    num_items: jax.Array,   # [] REAL item count of this batch
+) -> jax.Array:
+    """`block_propagate` with work ∝ the batch's REAL item count: a
+    fori_loop whose (traced) trip count covers only ceil(num_items/256)
+    chunks — padded tail chunks are never gathered, multiplied, or
+    reduced. Each chunk gathers its pool blocks directly (no [W, bs, bs]
+    materialization), so the dominant HBM stream also shrinks to the
+    real items. Identical math to `block_propagate` (sentinel rows land
+    in the dropped capacity segment; per-chunk partial sums accumulate
+    in fp32 — accumulation order differs from the single segment-sum by
+    grouping only)."""
+    return _chunked_fwd(
+        hb, pool, item_pool, item_row, item_col, num_items
+    )
+
+
+def _chunked_fwd(hb, pool, item_pool, item_row, item_col, num_items):
+    nb, bs, f = hb.shape
+    w = item_row.shape[0]
+    chunk = min(_PROP_CHUNK, w)
+    w_pad = -(-w // chunk) * chunk
+    sentinel = pool.shape[0] - 1
+    ip = _pad_items(item_pool, w_pad, sentinel)
+    rows = _pad_items(item_row, w_pad, nb)
+    cols = _pad_items(item_col, w_pad, 0)
+    trips = jnp.minimum(
+        (num_items.astype(jnp.int32) + chunk - 1) // chunk, w_pad // chunk
+    )
+
+    def body(k, out):
+        st = k * chunk
+        ipc = jax.lax.dynamic_slice_in_dim(ip, st, chunk)
+        rc = jax.lax.dynamic_slice_in_dim(rows, st, chunk)
+        cc = jax.lax.dynamic_slice_in_dim(cols, st, chunk)
+        blocks = pool[ipc].astype(hb.dtype)           # [chunk, bs, bs]
+        parts = jnp.einsum(
+            "wij,wjf->wif", blocks, hb[cc],
+            preferred_element_type=jnp.float32,
+        )
+        return out + jax.ops.segment_sum(
+            parts, rc, num_segments=nb + 1, indices_are_sorted=True
+        )
+
+    # init carry derived from hb so it inherits hb's varying-axis type
+    # under shard_map (a plain zeros literal is "unvarying" and trips
+    # the while_loop carry-type check on a mesh)
+    init = jnp.zeros((nb + 1, bs, f), jnp.float32) + 0.0 * hb.astype(
+        jnp.float32
+    ).sum()
+    out = jax.lax.fori_loop(0, trips, body, init)
+    return out[:nb]
+
+
+def _chunked_vjp_fwd(hb, pool, item_pool, item_row, item_col, item_permT,
+                     item_colT, num_items):
+    out = _chunked_fwd(hb, pool, item_pool, item_row, item_col, num_items)
+    stub = jnp.zeros((0,), hb.dtype)
+    return out, (
+        pool, item_pool, item_row, item_permT, item_colT, num_items, stub,
+    )
+
+
+def _chunked_vjp_bwd(res, g):
+    import numpy as np
+
+    pool, item_pool, item_row, item_permT, item_colT, num_items, stub = res
+    h_dtype = stub.dtype
+    nb, bs, f = g.shape
+    w = item_row.shape[0]
+    chunk = min(_PROP_CHUNK, w)
+    w_pad = -(-w // chunk) * chunk
+    sentinel = pool.shape[0] - 1
+    # padded tail of the col-major traversal points at the padded tail
+    # of item_pool/item_row (sentinel pool block, sentinel row)
+    ip = _pad_items(item_pool, w_pad, sentinel)
+    rows = _pad_items(item_row, w_pad, nb)
+    permT = _pad_items(item_permT, w_pad, w_pad - 1) if w_pad != w else \
+        item_permT
+    colsT = _pad_items(item_colT, w_pad, nb)
+    g_pad = jnp.concatenate([g, jnp.zeros((1, bs, f), g.dtype)])
+    # bf16-stored blocks stay bf16 (same trade as _block_propagate_bwd)
+    bdt = pool.dtype if pool.dtype == jnp.bfloat16 else g.dtype
+    trips = jnp.minimum(
+        (num_items.astype(jnp.int32) + chunk - 1) // chunk, w_pad // chunk
+    )
+
+    def body(k, dhb):
+        st = k * chunk
+        pt = jax.lax.dynamic_slice_in_dim(permT, st, chunk)
+        ct = jax.lax.dynamic_slice_in_dim(colsT, st, chunk)
+        ipT = ip[pt]
+        rowsT = rows[pt]
+        blocks = pool[ipT].astype(bdt)
+        partsT = jnp.einsum(
+            "wij,wif->wjf", blocks, g_pad[rowsT].astype(bdt),
+            preferred_element_type=jnp.float32,
+        )
+        return dhb + jax.ops.segment_sum(
+            partsT, ct, num_segments=nb + 1, indices_are_sorted=True
+        )
+
+    # varying-typed init, same reason as the forward's
+    initg = jnp.zeros((nb + 1, bs, f), jnp.float32) + 0.0 * g.astype(
+        jnp.float32
+    ).sum()
+    d_hb = jax.lax.fori_loop(0, trips, body, initg)[:nb]
+    f0 = jax.dtypes.float0
+    zi = lambda a: np.zeros(a.shape, dtype=f0)
+    return (
+        d_hb.astype(h_dtype),
+        jnp.zeros_like(pool),  # pool is constant data → DCE'd
+        zi(item_pool),
+        zi(item_row),
+        zi(item_row),
+        zi(item_permT),
+        zi(item_colT),
+        zi(num_items),
+    )
+
+
+block_propagate_chunked.defvjp(_chunked_vjp_fwd, _chunked_vjp_bwd)
+
+
 def apply_block(
     params: Params,
     model: DGCNN,
@@ -491,9 +642,7 @@ def apply_block(
         from dgcnn_tpu.kernels.block_pallas import block_propagate_pallas
 
         interpret = not on_tpu
-        blocks = None
-    else:
-        blocks = pool[batch.item_pool].astype(prop_dt)  # [W, bs, bs]
+    pool_c = pool if pool.dtype == prop_dt else pool.astype(prop_dt)
     layer_outs = []
     for i, layer in enumerate(params["gcn"]):
         hw = jnp.dot(h, layer["w"].astype(dt), preferred_element_type=jnp.float32)
@@ -504,9 +653,13 @@ def apply_block(
                 batch.item_permT, batch.item_colT, interpret,
             )
         else:
-            agg = block_propagate(
-                hb, blocks, batch.item_row, batch.item_col,
-                batch.item_permT, batch.item_colT,
+            # chunked XLA formulation: work ∝ the batch's real item
+            # count (budgets are epoch maxima — DD means run ~2.2×
+            # under budget), pool blocks gathered per chunk
+            agg = block_propagate_chunked(
+                hb, pool_c, batch.item_pool, batch.item_row,
+                batch.item_col, batch.item_permT, batch.item_colT,
+                batch.num_items,
             )
         h = jnp.tanh(agg.reshape(s_nodes, -1) + layer["b"])
         h = (h * mask).astype(dt)

@@ -218,8 +218,19 @@ def sddmm(
 
 
 # one-hot SpMM pays 4·N·F FLOPs/edge; the gather path pays ~60 cycles/edge.
-# Crossover on v5e (fp32 MXU ≈ 50 TF/s, 0.94 GHz): N·F ≲ 8e5.
-_ONEHOT_MAX_NF = 800_000
+# The FLOP model put the crossover at N·F ≲ 8e5, but the MEASURED sweep
+# (tools/probe_onehot_breakeven.py, 2026-08-20 v5e, F=32, E=4N,
+# batch-structured) crosses much earlier — effective one-hot throughput
+# is well below MXU peak at these shapes:
+#     N=2048 (N·F  65K): onehot  14.3 µs vs xla  81.8  (5.7× faster)
+#     N=4096 (N·F 131K): onehot 102.2 µs vs xla 171.3  (1.7× faster)
+#     N=8192 (N·F 262K): onehot 450.4 µs vs xla 337.8  (1.3× SLOWER)
+#     N=16K  (N·F 524K): onehot 1742  µs vs xla 654.8  (2.7× SLOWER)
+# → gate at 150K (below the geometric midpoint: one-hot's loss grows
+# linearly in N past the crossover while xla's cost is sublinear, so
+# erring low is cheap and erring high is not — DD's end-to-end COO probe
+# measured exactly that wreck at N·F=458K, tools/probe_dd_coo.py).
+_ONEHOT_MAX_NF = 150_000
 
 
 # block-pair structures below this fill fraction (real edges / padded

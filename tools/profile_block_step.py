@@ -196,14 +196,18 @@ def main(argv=None):
                 fx.item_col, fx.item_permT, fx.item_colT, interp,
             )
     else:
+        # the production XLA path (models/dgcnn.py apply_block): chunked
+        # propagation gathering pool blocks per chunk, work ∝ real items
+        from dgcnn_tpu.models.dgcnn import block_propagate_chunked
+
         prop_operand = jax.block_until_ready(jax.jit(
-            lambda b: b.astype(prop_dt)
-        )(fixed_blocks))
+            lambda p: p.astype(prop_dt)
+        )(dev.pool))
 
         def _prop(hb, operand, fx):
-            return block_propagate(
-                hb, operand, fx.item_row, fx.item_col, fx.item_permT,
-                fx.item_colT,
+            return block_propagate_chunked(
+                hb, operand, fx.item_pool, fx.item_row, fx.item_col,
+                fx.item_permT, fx.item_colT, fx.num_items,
             )
 
     def prop_loss(ws, fx, operand, seed):
