@@ -49,7 +49,11 @@ kernel docstring for the final numbers):
 
     base (2-acc)   6.46 µs/op
     unroll4        4.16 µs/op   ← 1.55x WIN — landed as N_ACC=4 in
-                                  kernels/spmm_block_coo.py
+                                  kernels/spmm_block_coo.py (clean-host
+                                  spmm microbench confirms: 11.0 → 9.94
+                                  µs/op auto, 9.35 forced, 21% → 29% of
+                                  MXU — contention exaggerated the
+                                  ratio but the direction held)
     sel_const      6.92 µs/op   — selector builds ≈ FREE; hypothesis
                                   (a) REFUTED (VPU overlaps the MXU)
     no_abuild      1.21 µs/op   — the (BS,EB)x(EB,BS) A-build is ~80%
