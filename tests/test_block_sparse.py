@@ -198,3 +198,75 @@ def test_engine_matches_coo_engine(tmp_path):
     np.testing.assert_allclose(
         results["block"]["train_accuracies"], results["coo"]["train_accuracies"]
     )
+
+
+def test_chunked_propagate_matches_unchunked():
+    """block_propagate_chunked (traced-trip fori_loop over 256-item
+    chunks — the production XLA path) must reproduce the one-shot
+    formulation on arbitrary budgets: at a chunk boundary, mid-chunk,
+    under heavy padding (budget >> real items), and for an empty batch.
+    Forward AND the custom-VJP backward (d_hb) are compared."""
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.models.dgcnn import (
+        _PROP_CHUNK,
+        block_propagate,
+        block_propagate_chunked,
+    )
+
+    gs, model, params, dev = _setup("DD", 10)
+    rng = np.random.default_rng(4)
+
+    for idx, w_extra in (
+        (np.arange(10, dtype=np.int32), 0),       # natural budget
+        (np.arange(6, dtype=np.int32), 700),      # heavy padding
+        (np.array([2], dtype=np.int32), 0),       # single graph
+        (np.array([-1], dtype=np.int32), 64),     # EMPTY batch
+    ):
+        nbb, wb = block_batch_extents(
+            np.asarray(dev.nb), np.asarray(dev.block_count),
+            np.maximum(idx, -1)[None, :],
+        )
+        nbb, wb = max(nbb, 2), max(wb + w_extra, 64)
+        bb = gather_block_batch(dev, jnp.asarray(idx), nbb, wb)
+        f = 16
+        hb = jnp.asarray(
+            rng.normal(size=(nbb, 128, f)).astype(np.float32) * 0.1
+        )
+        blocks = dev.pool[bb.item_pool]
+
+        want = block_propagate(
+            hb, blocks, bb.item_row, bb.item_col, bb.item_permT, bb.item_colT
+        )
+        got = block_propagate_chunked(
+            hb, dev.pool, bb.item_pool, bb.item_row, bb.item_col,
+            bb.item_permT, bb.item_colT, bb.num_items,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
+
+        # real-count sanity: the traced trip count covers every item
+        assert int(bb.num_items) <= wb
+        if idx[0] >= 0:
+            assert int(bb.num_items) > 0
+        else:
+            assert int(bb.num_items) == 0
+
+        def loss_unchunked(h):
+            return (block_propagate(
+                h, blocks, bb.item_row, bb.item_col, bb.item_permT,
+                bb.item_colT,
+            ) ** 2).sum()
+
+        def loss_chunked(h):
+            return (block_propagate_chunked(
+                h, dev.pool, bb.item_pool, bb.item_row, bb.item_col,
+                bb.item_permT, bb.item_colT, bb.num_items,
+            ) ** 2).sum()
+
+        g_want = jax.grad(loss_unchunked)(hb)
+        g_got = jax.grad(loss_chunked)(hb)
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), rtol=1e-5, atol=1e-6
+        )
