@@ -433,6 +433,11 @@ block_propagate.defvjp(_block_propagate_fwd, _block_propagate_bwd)
 # on-chip step anatomy put propagation at 57% of the DD train step).
 # Chunking with a TRACED trip count makes time ∝ real items while every
 # shape stays static — the TPU-idiomatic answer to ragged work.
+# Chunk-size A/B on the DD end-to-end epoch (2026-08-20 on-chip):
+# 256 → 35.64 ms, 128 → 35.54 (equal within transport noise; 256 keeps
+# half the loop iterations), 512 → 39.33 (padding waste returns). The
+# fori_loop's carry dependence serializes chunks, so the win saturates
+# once the chunk amortizes loop overhead — don't re-try larger chunks.
 _PROP_CHUNK = 256
 
 
