@@ -300,3 +300,38 @@ def test_sddmm_grads_match_between_impls():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gb_o), np.asarray(gb_x),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_onehot_auto_gate_boundary():
+    """The one-hot SpMM auto gate was recalibrated from the measured
+    N-sweep (tools/probe_onehot_breakeven.py: crossover between
+    N·F = 131K and 262K; ops/spmm._ONEHOT_MAX_NF = 150K). Pin the
+    routing behavior: NCI1-scale batches stay one-hot-eligible under
+    auto, DD-scale batches (N·F ≈ 458K — the measured 2.5× wreck in
+    tools/probe_dd_coo.py) must NOT be."""
+    from dgcnn_tpu.ops.spmm import _ONEHOT_MAX_NF
+
+    f = 32
+    assert 2048 * f <= _ONEHOT_MAX_NF       # NCI1 microbench shape: eligible
+    assert 4096 * f <= _ONEHOT_MAX_NF       # measured 1.7x faster: eligible
+    assert 8192 * f > _ONEHOT_MAX_NF        # measured 1.3x slower: excluded
+    assert 14336 * f > _ONEHOT_MAX_NF       # DD COO bucket: excluded
+
+    # behavioral check through the dispatcher itself: at an excluded
+    # shape, auto must produce the segment-sum result (it always equals
+    # one-hot numerically, so equality can't distinguish routing — use
+    # the documented alignment fallback contract instead: a misaligned
+    # edge stream degrades auto to segment-sum without error)
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.ops.spmm import spmm
+
+    rng = np.random.default_rng(0)
+    n, e = 256, 1024
+    src = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    dst = jnp.asarray(np.sort(rng.integers(0, n, e)).astype(np.int32))
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    h = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    want = np.asarray(spmm(src, dst, w, h, n, impl="xla"))
+    got = np.asarray(spmm(src, dst, w, h, n, impl="auto"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
