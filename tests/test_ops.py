@@ -317,21 +317,40 @@ def test_onehot_auto_gate_boundary():
     assert 8192 * f > _ONEHOT_MAX_NF        # measured 1.3x slower: excluded
     assert 14336 * f > _ONEHOT_MAX_NF       # DD COO bucket: excluded
 
-    # behavioral check through the dispatcher itself: at an excluded
-    # shape, auto must produce the segment-sum result (it always equals
-    # one-hot numerically, so equality can't distinguish routing — use
-    # the documented alignment fallback contract instead: a misaligned
-    # edge stream degrades auto to segment-sum without error)
+    # behavioral routing check via the traced program: the one-hot
+    # formulation is the only spmm path that lowers the aggregation to
+    # dot_general (block one-hot matmuls); the segment-sum path lowers
+    # to gather + scatter/segment ops. An eligible shape must contain
+    # dot_general under auto, an excluded shape must not.
+    import jax
     import jax.numpy as jnp
 
-    from dgcnn_tpu.ops.spmm import spmm
+    from dgcnn_tpu.ops.spmm import ONEHOT_EDGE_BLOCK, spmm
 
     rng = np.random.default_rng(0)
-    n, e = 256, 1024
+
+    def auto_jaxpr(n):
+        e = ONEHOT_EDGE_BLOCK  # aligned, so only the N*F gate decides
+        src = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+        dst = jnp.asarray(np.sort(rng.integers(0, n, e)).astype(np.int32))
+        w = jnp.asarray(rng.random(e).astype(np.float32))
+        h = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32) * 0.1)
+        return str(jax.make_jaxpr(
+            lambda: spmm(src, dst, w, h, n, impl="auto")
+        )()), (src, dst, w, h)
+
+    jx_small, _ = auto_jaxpr(2048)      # eligible → one-hot matmuls
+    assert "dot_general" in jx_small
+    jx_big, _ = auto_jaxpr(8192)        # excluded → segment-sum path
+    assert "dot_general" not in jx_big
+
+    # and the two paths agree numerically at the boundary shape
+    n = 2048
+    e = ONEHOT_EDGE_BLOCK
     src = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
     dst = jnp.asarray(np.sort(rng.integers(0, n, e)).astype(np.int32))
     w = jnp.asarray(rng.random(e).astype(np.float32))
     h = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
     want = np.asarray(spmm(src, dst, w, h, n, impl="xla"))
     got = np.asarray(spmm(src, dst, w, h, n, impl="auto"))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -231,7 +231,10 @@ def main() -> int:
     }
     print(f"structure: {meta}", file=sys.stderr)
 
-    # sanity: probe 'base' == library kernel (bit-for-bit same program)
+    # sanity: probe 'base' (the 2-acc pre-round-3 configuration) matches
+    # the library kernel numerically — NOTE the shipped kernel is N_ACC=4
+    # since the unroll4 A/B landed, so 'unroll4' is the production
+    # configuration here and 'base' is the historical baseline
     base_out = forward(
         make_kernel("base", 2), 2, s.row_ptr, s.item_c, s.ls, s.ld, w_pad,
         jnp.asarray(h0),

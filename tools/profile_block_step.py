@@ -177,9 +177,6 @@ def main(argv=None):
     fixed = jax.block_until_ready(jax.jit(
         lambda d, row: gather_block_batch(d, row, nb_budget, w_budget)
     )(dev, order_pool[0][0]))
-    fixed_blocks = jax.block_until_ready(jax.jit(
-        lambda pool, ip: pool[ip]
-    )(dev.pool, fixed.item_pool))
     Ws = [params["gcn"][i]["w"] for i in range(4)]
     bs = dev_host.pool.shape[1]
     prop_dt = jnp.bfloat16 if adj_dt == "bfloat16" else jnp.float32
