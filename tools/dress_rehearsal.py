@@ -124,8 +124,7 @@ def run(name: str, root: str, train: bool, train_epochs: int = 3) -> dict:
                     "--data_type", name,
                     "--num_epochs", str(train_epochs),
                     "--data_root", root,
-                    "--epochs_dir", os.path.join(td, "epochs"),
-                    "--statistics_dir", os.path.join(td, "statistics"),
+                    "--out_root", td,
                 ],
                 capture_output=True, text=True, timeout=1500, env=env,
                 cwd=repo,
