@@ -278,3 +278,60 @@ def test_compare_detects_mismatch():
 
     with pytest.raises(AssertionError):
         compare_dumps(a, b)
+
+
+def test_dropout_convention_matches_torch():
+    """The ONE op excluded from training-step parity (dropout is
+    framework-RNG-dependent) gets its CONVENTION pinned instead: with
+    the identical Bernoulli mask injected, our inverted dropout
+    (mask ? h/keep : 0 after relu(lin1), reference model.py:42) must
+    produce the same log-probs as torch's train-time
+    `F.dropout`-equivalent masking of the oracle head."""
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=6, seed=2)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    params = init_params(jax.random.PRNGKey(9), model)
+    batch = pack_batch(gs, np.arange(6), compute_bucket(gs, 6))
+
+    from dgcnn_tpu.models.dgcnn import apply
+
+    key = jax.random.PRNGKey(123)
+    keep = 1.0 - model.dropout_rate
+    lp_full = np.asarray(
+        apply(params, model, batch, deterministic=False, dropout_rng=key)
+    )
+    ours = lp_full[:6]
+
+    # the exact mask our head drew (single dropout site consumes the key
+    # directly; it spans all graph slots, real rows first)
+    mask = np.asarray(
+        jax.random.bernoulli(key, keep, (lp_full.shape[0], model.dense_dim))
+    )
+
+    # torch side: oracle forward to sort_pool, then the head with the
+    # same mask applied after relu(lin1), torch convention h*mask/keep
+    state = {
+        k: torch.tensor(v)
+        for k, v in params_to_torch_state(params, model).items()
+    }
+    acts = forward_activations(
+        params_to_torch_state(params, model), graphs_from_graphset(gs),
+        k=model.sort_pool_k, num_gcn_layers=len(model.hidden_dims),
+    )
+    pooled = torch.tensor(acts["sort_pool"])  # [B, k, C] real graphs only
+    b = pooled.shape[0]
+    x = pooled.reshape(b, 1, -1)
+    x = torch.relu(torch.nn.functional.conv1d(
+        x, state["conv5.weight"], state["conv5.bias"],
+        stride=model.concat_dim))
+    x = torch.nn.functional.max_pool1d(x, 2, 2)
+    x = torch.relu(torch.nn.functional.conv1d(
+        x, state["conv6.weight"], state["conv6.bias"]))
+    x = x.reshape(b, -1)
+    x = torch.relu(torch.nn.functional.linear(
+        x, state["classifier_1.weight"], state["classifier_1.bias"]))
+    x = x * torch.tensor(mask[:b], dtype=x.dtype) / keep  # torch F.dropout
+    x = torch.nn.functional.linear(
+        x, state["classifier_2.weight"], state["classifier_2.bias"])
+    want = torch.log_softmax(x, dim=-1).numpy()
+
+    np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-6)
