@@ -143,11 +143,11 @@ def spmm_microbench(
         w_pad = jnp.asarray(pad_weights(structure, w_np))
         w_padT = jnp.asarray(pad_weights_t(structure, w_np))
 
-    def time_chain(op):
+    def time_chain(op, unroll_n):
         @jax.jit
         def chain(src, dst, w, h):
             def body(_, acc):
-                for _ in range(unroll):
+                for _ in range(unroll_n):
                     acc = op(src, dst, w, acc) * 0.5 + acc * 0.5
                 return acc
 
@@ -162,14 +162,23 @@ def spmm_microbench(
             times.append(time.perf_counter() - t0)
         return min(times) / iters
 
-    floor = time_chain(lambda s, d, ww, acc: acc * 1.0001)
-    full = time_chain(
-        lambda s, d, ww, acc: spmm(
-            s, d, ww, acc, num_nodes, impl=impl,
-            structure=structure, w_pad=w_pad, w_padT=w_padT,
-        )
+    spmm_op = lambda s, d, ww, acc: spmm(
+        s, d, ww, acc, num_nodes, impl=impl,
+        structure=structure, w_pad=w_pad, w_padT=w_padT,
     )
-    per_op = (full - floor) / unroll
+    # adaptive unroll: a fast op (few µs) under a ~0.5 ms/iteration loop
+    # floor leaves (full − floor) inside the floor's own noise band —
+    # deepen the chain until the op signal dominates the iteration cost
+    # (fixes NaN rows in bench detail once kernels dropped under ~10 µs)
+    per_op = -1.0
+    unroll_n = unroll
+    while unroll_n <= 128:
+        floor = time_chain(lambda s, d, ww, acc: acc * 1.0001, unroll_n)
+        full = time_chain(spmm_op, unroll_n)
+        per_op = (full - floor) / unroll_n
+        if full > floor * 1.5 and per_op > 0:
+            break
+        unroll_n *= 4
     if per_op <= 0:
         # the kernel is below measurement noise at these shapes — report
         # that honestly instead of a clamped absurd throughput
