@@ -10,7 +10,8 @@ transport adds ~25-30 ms per dispatch), and prints the cost breakdown:
     assemble    gather_block_batch only (on-device batch assembly)
     blocks      assemble + pool[item_pool] block gather (the engine's
                 dominant HBM stream at fp32)
-    prop_fwd    4 chained block_propagate on a FIXED pre-built batch
+    prop_fwd    4 chained propagations on a FIXED pre-built batch
+                (block_propagate_chunked — the production XLA path)
                 (batched MXU matmul + sorted block segment-sum)
     prop_grad   value_and_grad of prop_fwd (fwd + custom-VJP backward)
     fwd         full apply_block forward + loss (assembly included)
@@ -79,7 +80,6 @@ def main(argv=None):
     from dgcnn_tpu.models.dgcnn import (
         DGCNN,
         apply_block,
-        block_propagate,
         init_params,
     )
     from dgcnn_tpu.train.cv import DeviceCooEngine
