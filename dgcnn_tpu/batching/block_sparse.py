@@ -50,6 +50,7 @@ import numpy as np
 
 import jax.tree_util as jtu
 
+from dgcnn_tpu.batching.device_coo import segment_of
 from dgcnn_tpu.data.graphset import GraphSet
 
 BLOCK_SIZE = 128  # MXU lane width; fp32 native tile is (8, 128)
@@ -303,7 +304,7 @@ def gather_block_batch(
     # --- nodes, per block-row: block-row q belongs to the slot whose
     # cumulative block range contains q ---
     q = jnp.arange(nb_budget, dtype=jnp.int32)
-    slot = jnp.searchsorted(bo[1:], q, side="right").astype(jnp.int32)
+    slot = segment_of(bo[1:], q)
     slot_c = jnp.minimum(slot, slots - 1)
     q_ok = q < bo[slots]
     qin = q - bo[slot_c]  # block-row index inside the graph
@@ -319,7 +320,7 @@ def gather_block_batch(
     wc = dev.block_count[g]
     wo = jnp.concatenate([jnp.zeros(1, wc.dtype), jnp.cumsum(wc)])
     wpos = jnp.arange(w_budget, dtype=jnp.int32)
-    wslot = jnp.searchsorted(wo[1:], wpos, side="right").astype(jnp.int32)
+    wslot = segment_of(wo[1:], wpos)
     wslot_c = jnp.minimum(wslot, slots - 1)
     j = wpos - wo[wslot_c]
     w_ok = wpos < wo[slots]

@@ -294,6 +294,20 @@ def device_graphset_bytes(dataset: GraphSet) -> int:
     )
 
 
+def segment_of(cum_ends, pos):
+    """Vectorized `jnp.searchsorted(cum_ends, pos, side="right")` for a
+    SMALL sorted `cum_ends` (the ≤64-slot batch offsets): the count of
+    segment ends ≤ pos, one [len(pos), slots] compare + row-sum on the
+    VPU. XLA lowers `jnp.searchsorted` to a per-position binary search
+    whose serialization measured 2× the ENTIRE remaining assembly cost
+    on DD (tools/probe_assemble_anatomy.py, 2026-08-20: full block
+    assembly 303 µs/step native vs 163 µs with this form); the O(P·S)
+    compare matrix is trivial VPU work at batch slot counts."""
+    import jax.numpy as jnp
+
+    return (pos[:, None] >= cum_ends[None, :]).sum(axis=1).astype(jnp.int32)
+
+
 def gather_coo_batch(
     dev: DeviceGraphSet, idx_row, bucket: BucketSpec, edge_window=None
 ) -> GraphBatch:
@@ -330,7 +344,7 @@ def gather_coo_batch(
     # --- nodes: position p belongs to the slot whose cumulative range
     # contains p; past the total it is padding ---
     pos = jnp.arange(n_pad, dtype=jnp.int32)
-    slot = jnp.searchsorted(node_off[1:], pos, side="right").astype(jnp.int32)
+    slot = segment_of(node_off[1:], pos)
     slot_c = jnp.minimum(slot, slots - 1)
     in_graph = pos - node_off[slot_c]
     node_mask = pos < node_off[slots]
@@ -340,7 +354,7 @@ def gather_coo_batch(
 
     # --- edges: same mapping over the edge extents ---
     epos = e_start + jnp.arange(e_pad, dtype=jnp.int32)
-    eslot = jnp.searchsorted(edge_off[1:], epos, side="right").astype(jnp.int32)
+    eslot = segment_of(edge_off[1:], epos)
     eslot_c = jnp.minimum(eslot, slots - 1)
     in_edge = epos - edge_off[eslot_c]
     edge_mask = epos < edge_off[slots]
