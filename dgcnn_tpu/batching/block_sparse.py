@@ -21,7 +21,9 @@ same torch-scatter aggregation (reference model.py:30-33), reformulated:
     the block-level analogue of the COO path's per-edge gather-scatter,
     with ~bs² MXU-resident useful FLOPs per index lookup instead of ~1;
   * batches are assembled INSIDE jit from a [slots] graph-id vector
-    (cumsum + searchsorted + row gathers — the device_coo.py pattern), so
+    (cumsum + vectorized segment mapping + row gathers — the
+    device_coo.py pattern; `segment_of` replaced jnp.searchsorted after the
+    2026-08-20 anatomy probe), so
     an epoch ships only its int32 shuffle matrix. Node features are
     stored pre-reshaped into block-rows (`x_blocks [ΣNb, bs, F]`), so
     batch assembly is a LEADING-AXIS block gather — per-node row gathers

@@ -10,8 +10,10 @@ This module gives the COO path the same device-residency: the flattened
 GraphSet arrays (x, per-graph dst-sorted edges, prefix tables) are moved
 to HBM ONCE, and a packed `GraphBatch` is assembled INSIDE jit from a
 [slots] vector of graph ids using only static-shape primitives —
-`cumsum` over per-graph counts, `searchsorted` to map padded node/edge
-positions to their batch slot, and row gathers. The result is
+`cumsum` over per-graph counts, a vectorized segment mapping
+(`segment_of` — a measured 2x over jnp.searchsorted's lowered binary
+search) to map padded node/edge positions to their batch slot, and row
+gathers. The result is
 byte-identical to the host packer's output (tests/test_device_coo.py):
 per-graph edges are pre-sorted by destination at build time, and slot
 offsets increase monotonically, so the concatenated stream is globally
