@@ -297,19 +297,20 @@ def block_coo_fits(num_nodes: int, num_features: int, w: int, eb: int) -> bool:
 
 # independent accumulators = software pipeline depth over the per-item
 # dependent dot pair (A-build → A@h). 2-deep measured ~1.6× over 1 on
-# v5e at eb=512 (round 1); 4-deep measured 1.55× over 2 under host
-# contention and 1.26× on a quiet host (round 3,
-# tools/probe_kernel_anatomy.py + the spmm microbench: 11.0 → 9.94 µs/op
-# auto-routed, 9.35 forced, 21% → 29% of the MXU roofline on the NCI1
-# shape) — the MXU sits in the dependence shadow of each item's A-build
-# otherwise. The same probe REFUTED the round-2 "VPU selector builds
-# dominate" hypothesis: sel_const (no per-item selector work) timed ≈
-# base, while no_abuild cut ~80% — the kernel is bound by the A-build
-# contraction's issue latency, which deeper unrolling hides; the
-# remaining ~3.5× to the MXU peak is that contraction's small-matmul
-# issue/drain overhead at (128,256)×(256,128) granularity, not a
-# schedulable stall (no DMA exists to overlap — all streams are
-# VMEM-resident).
+# v5e at eb=512 (round 1). Round 3 A/B'd 4-deep
+# (tools/probe_kernel_anatomy.py, two runs + bench rows): measured a
+# 1.55× win under host contention, ~1.26× on one quiet bench pass
+# (11.0 → 9.94 µs/op auto), and EQUAL-within-noise on a later bracketed
+# run — day-long transport variance swung identical-code rows 6-17
+# µs/op, so the honest verdict is NEUTRAL-TO-POSITIVE; kept at 4
+# because it never measured worse. 8-deep consistently LOST (~20 µs/op,
+# both orders — register/VMEM pressure); do not re-try. What IS robust
+# across every run: the round-2 "VPU selector builds dominate"
+# hypothesis is REFUTED (sel_const ≈ base) and the A-build contraction
+# dominates kernel time (no_abuild cuts most of it) — the residual gap
+# to the MXU peak is that contraction's small-matmul issue/drain
+# overhead at (128,256)×(256,128) granularity, not a schedulable stall
+# (no DMA exists to overlap — all streams are VMEM-resident).
 N_ACC = 4
 
 

@@ -1029,8 +1029,8 @@ def _warn_measured_losers(cfg: Config, layout: str) -> None:
     if cfg.spmm_impl == "pallas" and layout in ("coo",):
         print(
             "[dgcnn_tpu] note: --spmm pallas prefers the block-pair COO "
-            "kernel (the measured auto winner: 6.1 µs/op at 37% of MXU on "
-            "the batch microbench); where its structures/fit "
+            "kernel (the measured auto winner: 6-16 µs/op on the batch "
+            "microbench across transport states); where its structures/fit "
             "gates fail it falls back to kernels/spmm_pallas.py whose "
             "per-edge gather kernel measured 58.3 µs/op — 5.3× slower "
             "than the winner (BENCH_r02 spmm rows). Default --spmm auto "

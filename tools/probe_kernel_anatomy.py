@@ -43,30 +43,34 @@ Hypothesis going in: the per-item VPU selector sweep is ~2·BS·EB =
 wrong roofline altogether.
 
 MEASURED (2026-08-20, v5e, N=2048 F=32 E=8192 batch structure, W=56
-EB=256 fill=0.571; first run shared the host with a pytest gate —
-ratios robust, absolute µs were re-checked on a quiet host, see the
-kernel docstring for the final numbers):
+EB=256 fill=0.571). Two runs: A = morning (shared host with a pytest
+gate, original 20-iter methodology), B = evening (bracketed floor,
+80×32 chains, floor healthy at 367 µs/iter):
 
-    base (2-acc)   6.46 µs/op
-    unroll4        4.16 µs/op   ← 1.55x WIN — landed as N_ACC=4 in
-                                  kernels/spmm_block_coo.py (clean-host
-                                  spmm microbench confirms: 11.0 → 9.94
-                                  µs/op auto, 9.35 forced, 21% → 29% of
-                                  MXU — contention exaggerated the
-                                  ratio but the direction held)
-    sel_const      6.92 µs/op   — selector builds ≈ FREE; hypothesis
-                                  (a) REFUTED (VPU overlaps the MXU)
-    no_abuild      1.21 µs/op   — the (BS,EB)x(EB,BS) A-build is ~80%
-                                  of kernel time: hypothesis (b) holds
-                                  (MXU idles in its dependence shadow,
-                                  which is exactly what more
-                                  accumulators fix)
-    no_ah         (noise-negative under contention; A@h is small)
-    bf16_sel      Mosaic INTERNAL compile error through the remote
-                  compile helper on this stack — not pursued; selector
-                  cost is ~0 anyway, so there is nothing for bf16 to
-                  win.
-    empty         (noise-negative under contention)
+    variant        A (µs/op)   B (µs/op)
+    base (2-acc)     6.46        17.62
+    unroll4          4.16        18.36
+    sel_const        6.92        17.47
+    no_abuild        1.21        11.59
+    no_ah            (neg)       10.40
+    empty            (neg)        1.38
+    bf16_sel       Mosaic INTERNAL compile error via the remote
+                   compile helper both runs — not pursued.
+
+What is ROBUST across runs (and what is not):
+  * sel_const ≈ base in both → selector builds are ~free; the VPU
+    hypothesis (a) is REFUTED both times.
+  * no_abuild ≪ base in both → the (BS,EB)×(EB,BS) A-build dot is the
+    dominant cost; hypothesis (b) is the standing explanation.
+  * unroll4-vs-base is NOT robust: 1.55× win in run A, equal within
+    noise in run B; day-long bench spmm rows on identical code swung
+    6-17 µs/op (14-37% "of MXU") with transport state. Verdict:
+    N_ACC=4 is neutral-to-positive — kept because it never measured
+    worse — but the honest primary evidence for the round's perf is
+    the END-TO-END epoch chain (DD 42.08 → 31.2 ms via chunked
+    propagation + segment mapping), which timed stably all day.
+  * Absolute µs from this probe are transport-state-dependent even
+    with a healthy floor; treat ratios only.
 
 Methodology note (2026-08-20, late): a floor measured only UP-FRONT
 absorbs the transport's per-process warmup and can exceed every
@@ -256,7 +260,12 @@ def main() -> int:
         np.asarray(base_out), np.asarray(lib_out), rtol=2e-5, atol=1e-7
     )
 
-    iters, unroll, reps = 20, 16, 4
+    # iters amortizes the ~30 ms transport round-trip per dispatch
+    # (floor/iter = RT/iters: at iters=20 the floor is ~1.5 ms with
+    # ±ms jitter that SWAMPS a ~100 µs/iter op signal — the source of
+    # the earlier all-negative runs); unroll deepens the op signal per
+    # iteration. 80×32 puts signal ≈ jitter×5.
+    iters, unroll, reps = 80, 32, 4
 
     def time_variant(mode, n_acc):
         kern = make_kernel(mode, n_acc)
