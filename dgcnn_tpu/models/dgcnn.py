@@ -478,7 +478,9 @@ def block_propagate_chunked(
 def _chunked_fwd(hb, pool, item_pool, item_row, item_col, num_items):
     nb, bs, f = hb.shape
     w = item_row.shape[0]
-    chunk = min(_PROP_CHUNK, w)
+    # max(1, ·): a zero-item caller (engine budgets never produce one, but
+    # direct callers can) must return the zero init, not divide by zero
+    chunk = max(1, min(_PROP_CHUNK, w))
     w_pad = -(-w // chunk) * chunk
     sentinel = pool.shape[0] - 1
     ip = _pad_items(item_pool, w_pad, sentinel)
@@ -528,7 +530,7 @@ def _chunked_vjp_bwd(res, g):
     h_dtype = stub.dtype
     nb, bs, f = g.shape
     w = item_row.shape[0]
-    chunk = min(_PROP_CHUNK, w)
+    chunk = max(1, min(_PROP_CHUNK, w))  # w == 0: zero trips, zero init
     w_pad = -(-w // chunk) * chunk
     sentinel = pool.shape[0] - 1
     # padded tail of the col-major traversal points at the padded tail

@@ -172,11 +172,13 @@ def spmm_microbench(
     # (fixes NaN rows in bench detail once kernels dropped under ~10 µs)
     per_op = -1.0
     unroll_n = unroll
+    clean_signal = False
     while unroll_n <= 128:
         floor = time_chain(lambda s, d, ww, acc: acc * 1.0001, unroll_n)
         full = time_chain(spmm_op, unroll_n)
         per_op = (full - floor) / unroll_n
         if full > floor * 1.5 and per_op > 0:
+            clean_signal = True
             break
         unroll_n *= 4
     if per_op <= 0:
@@ -243,6 +245,10 @@ def spmm_microbench(
             }
             if routed == "blockcoo_pallas" else {}
         ),
+        # adaptive unroll exhausted at 128 without the op signal clearing
+        # the 1.5× loop-iteration floor: per_op is positive but noisy —
+        # flag it so consumers don't read a below-noise number as clean
+        **({} if clean_signal else {"weak_signal": True}),
     }
 
 
