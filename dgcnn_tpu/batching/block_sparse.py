@@ -153,6 +153,58 @@ jtu.register_pytree_node(
 )
 
 
+@dataclasses.dataclass
+class FoldBlockBatch:
+    """F folds' batches assembled as ONE compact f-major work-item stream
+    (fold-lockstep; VERDICT r3 #1). Node-side arrays keep a per-fold axis
+    (each fold's dense ops use its own params), but the work items of all
+    folds are packed CONTIGUOUSLY — no per-fold tail padding — so the
+    chunked propagation's per-iteration footprint stays at the sequential
+    engine's (VMEM-fusible) size and its trip count covers only
+    ceil(Σ_f real items / chunk). A naively fold-vmapped propagation was
+    measured 3.4× less HBM-efficient on-chip (2026-08-20): its
+    [F, chunk]-shaped iterations (~84 MB) overflow VMEM and XLA splits
+    the gather→matmul→segment-sum fusion into HBM-materialized stages.
+
+    x:            [F, S, feat]   S = nb_budget·bs per fold
+    item_pool:    [W]     pool index (sentinel P on padding)
+    item_rowseg:  [W]     f·(nb_budget+1) + batch block-row; non-decreasing;
+                          F·(nb_budget+1) on padding
+    item_colsrc:  [W]     f·nb_budget + batch block-col (source row into the
+                          [F·nb_budget] flattened feature blocks; 0 padded)
+    item_permT:   [W]     flat col-major traversal (identity on padding)
+    item_colTseg: [W]     f·(nb_budget+1) + block-col in that order;
+                          non-decreasing; F·(nb_budget+1) on padding
+    node_graph:   [F, S]  per-fold slot ids (slots on padding)
+    node_mask:    [F, S]
+    y:            [F, slots]
+    graph_mask:   [F, slots]
+    num_items:    []      Σ_f real item count
+    """
+
+    x: np.ndarray
+    item_pool: np.ndarray
+    item_rowseg: np.ndarray
+    item_colsrc: np.ndarray
+    item_permT: np.ndarray
+    item_colTseg: np.ndarray
+    node_graph: np.ndarray
+    node_mask: np.ndarray
+    y: np.ndarray
+    graph_mask: np.ndarray
+    num_items: np.ndarray
+
+
+jtu.register_pytree_node(
+    FoldBlockBatch,
+    lambda b: (
+        tuple(getattr(b, f.name) for f in dataclasses.fields(FoldBlockBatch)),
+        None,
+    ),
+    lambda aux, ch: FoldBlockBatch(*ch),
+)
+
+
 def build_block_graphset(dataset: GraphSet, bs: int = BLOCK_SIZE) -> BlockGraphSet:
     """Host-side one-time build: per graph, strip self-loops (reference
     model.py:28), find the nonzero block grid of Â = A+I, materialize each
@@ -266,6 +318,131 @@ def block_batch_extents(
     nbs = int((np.asarray(nb)[safe] * valid).sum(axis=1).max())
     w = int((np.asarray(block_count)[safe] * valid).sum(axis=1).max())
     return nbs, w
+
+
+def block_fold_extents(
+    nb: np.ndarray, block_count: np.ndarray, order_mat: np.ndarray,
+    n_shard: int = 1,
+) -> Tuple[int, int]:
+    """Budget sizing for the fold-lockstep merged stream: order_mat is
+    [..., F, slots]; returns (max per-FOLD block-rows, max per-STEP
+    Σ-over-local-folds work items), where the fold axis splits into
+    `n_shard` contiguous groups (one per mesh device) and the item
+    budget covers the heaviest group."""
+    mat = np.asarray(order_mat)
+    F, slots = mat.shape[-2], mat.shape[-1]
+    rows = mat.reshape(-1, F, slots)
+    safe = np.maximum(rows, 0)
+    valid = rows >= 0
+    nbs = int((np.asarray(nb)[safe] * valid).sum(axis=2).max())
+    per_fold_w = (np.asarray(block_count)[safe] * valid).sum(axis=2)
+    per_group_w = per_fold_w.reshape(rows.shape[0], n_shard, F // n_shard)
+    return nbs, int(per_group_w.sum(axis=2).max())
+
+
+def gather_block_batch_folds(
+    dev: BlockGraphSet, idx_rows, nb_budget: int, w_budget: int
+) -> FoldBlockBatch:
+    """Assemble F folds' batches as one FoldBlockBatch (merged f-major
+    work-item stream) from [F, slots] graph ids. Traced inside jit;
+    shapes budget-static.
+
+    Node side: fold f's graphs pack onto fold f's OWN block-row axis
+    [nb_budget] exactly as gather_block_batch does per batch (per-fold
+    dense ops need uniform per-fold shapes). Work-item side: the
+    (fold, slot) grid flattens f-major and items pack CONTIGUOUSLY, so
+    padding exists only at the stream tail and the chunked propagation's
+    traced trip count covers Σ_f real items. Segment/source ids carry the
+    fold offsets (f·(nb_budget+1) rows, f·nb_budget feature blocks), so
+    one sorted segment-sum aggregates every fold at once. Each fold's
+    per-item math is bit-identical to gather_block_batch's."""
+    import jax
+    import jax.numpy as jnp
+
+    bs = dev.pool.shape[1]
+    F, slots = idx_rows.shape
+    num_graphs_total = dev.block_start.shape[0] - 1
+    sentinel_pool = dev.pool.shape[0] - 1
+    sentinel_xb = dev.x_blocks.shape[0] - 1
+    seg_pad = F * (nb_budget + 1)  # padded items' segment id (dropped)
+
+    valid = idx_rows >= 0  # [F, slots]
+    g = jnp.where(valid, idx_rows, num_graphs_total)
+
+    # --- per-fold node packing (same math as gather_block_batch) ---
+    nbs = dev.nb[g]  # [F, slots]
+    bo = jnp.concatenate(
+        [jnp.zeros((F, 1), nbs.dtype), jnp.cumsum(nbs, axis=1)], axis=1
+    )  # [F, slots+1]
+
+    q = jnp.arange(nb_budget, dtype=jnp.int32)
+    slot_f = jax.vmap(lambda b: segment_of(b[1:], q))(bo)  # [F, nb_budget]
+    slot_c = jnp.minimum(slot_f, slots - 1)
+    q_ok = q[None, :] < bo[:, slots, None]
+    qin = q[None, :] - jnp.take_along_axis(bo, slot_c, axis=1)
+    g_of_q = jnp.take_along_axis(g, slot_c, axis=1)
+    xb_row = jnp.where(q_ok, dev.bofs[g_of_q] + qin, sentinel_xb)
+    x = dev.x_blocks[xb_row.reshape(-1)].reshape(F, nb_budget * bs, -1)
+
+    lane = jnp.arange(bs, dtype=jnp.int32)
+    n_of = dev.node_count[g_of_q]  # [F, nb_budget]
+    node_ok = q_ok[:, :, None] & (
+        (qin[:, :, None] * bs + lane[None, None, :]) < n_of[:, :, None]
+    )
+    node_graph = jnp.where(
+        node_ok, slot_c[:, :, None], slots
+    ).astype(jnp.int32).reshape(F, nb_budget * bs)
+
+    # --- merged work-item stream over the flattened (fold, slot) grid ---
+    wc = dev.block_count[g].reshape(-1)  # [F*slots]
+    wo = jnp.concatenate([jnp.zeros(1, wc.dtype), jnp.cumsum(wc)])
+    wpos = jnp.arange(w_budget, dtype=jnp.int32)
+    fs = segment_of(wo[1:], wpos)  # flattened (fold, slot) index
+    fs_c = jnp.minimum(fs, F * slots - 1)
+    j = wpos - wo[fs_c]
+    w_ok = wpos < wo[F * slots]
+    g_flat = g.reshape(-1)
+    # per-item fold and in-fold base block-row
+    fold_of = fs_c // slots
+    base = bo[fold_of, fs_c % slots].astype(jnp.int32)
+    gw = g_flat[fs_c]
+    pool_id = jnp.where(
+        w_ok, dev.block_start[gw] + j, sentinel_pool
+    ).astype(jnp.int32)
+    row_seg = jnp.where(
+        w_ok,
+        fold_of * (nb_budget + 1) + base + dev.block_row[pool_id],
+        seg_pad,
+    ).astype(jnp.int32)
+    col_src = jnp.where(
+        w_ok, fold_of * nb_budget + base + dev.block_col[pool_id], 0
+    ).astype(jnp.int32)
+
+    # col-major traversal (backward): graph items are contiguous in the
+    # flat stream, so the same in-graph permutation applies flat
+    jt = dev.trperm[jnp.where(w_ok, dev.block_start[gw] + j, sentinel_pool)]
+    permT = jnp.where(w_ok, wpos - j + jt, wpos).astype(jnp.int32)
+    pool_idT = jnp.where(w_ok, dev.block_start[gw] + jt, sentinel_pool)
+    colT_seg = jnp.where(
+        w_ok,
+        fold_of * (nb_budget + 1) + base + dev.block_col[pool_idT],
+        seg_pad,
+    ).astype(jnp.int32)
+
+    y = jnp.where(valid, dev.y[g], 0).astype(jnp.int32)
+    return FoldBlockBatch(
+        x=x,
+        item_pool=pool_id,
+        item_rowseg=row_seg,
+        item_colsrc=col_src,
+        item_permT=permT,
+        item_colTseg=colT_seg,
+        node_graph=node_graph,
+        node_mask=node_ok.reshape(F, nb_budget * bs).astype(jnp.float32),
+        y=y,
+        graph_mask=valid.astype(jnp.float32),
+        num_items=wo[F * slots].astype(jnp.int32),
+    )
 
 
 def gather_block_batch(

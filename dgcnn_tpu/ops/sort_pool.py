@@ -68,6 +68,53 @@ def sort_pool(
     return jnp.where(valid[..., None], pooled, 0)
 
 
+def sort_pool_folds(
+    x: jax.Array,
+    node_graph: jax.Array,
+    num_graph_slots: int,
+    k: int,
+) -> jax.Array:
+    """Fold-lockstep SortPooling: [F, S, C] → [F, num_graph_slots, k, C].
+
+    The per-fold sort stays BATCHED (one [F, S] stable sort — XLA sorts
+    rows in parallel), but every gather/scatter around it runs on a
+    FLAT fold-offset id space: a fold-vmapped gather/scatter lowers to a
+    serialized batched form on TPU (measured 2026-08-20 on the DD
+    lockstep step: 4.8 ms/step across the rank gather, the index
+    scatter and the row-gather VJP — vs ~0.15 ms for the flat forms).
+    Same math per fold as `sort_pool`."""
+    f, s, c = x.shape
+    sp1 = num_graph_slots + 1  # per-fold groups incl. the padding group
+    key = x[..., -1].astype(jnp.float32)
+    node_idx = jnp.broadcast_to(
+        jnp.arange(s, dtype=jnp.int32)[None, :], (f, s)
+    )
+    g_sorted, _, perm = jax.lax.sort(
+        (node_graph.astype(jnp.int32), -key, node_idx), num_keys=2
+    )
+
+    foff = (jnp.arange(f, dtype=jnp.int32) * sp1)[:, None]
+    gid = (g_sorted + foff).reshape(-1)  # [F·S], non-decreasing
+    starts = jnp.searchsorted(
+        gid, jnp.arange(f * sp1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    rank = jnp.arange(f * s, dtype=jnp.int32) - jnp.take(starts, gid)
+
+    perm_flat = (
+        perm + (jnp.arange(f, dtype=jnp.int32) * s)[:, None]
+    ).reshape(-1)
+    total = f * sp1 * k
+    sentinel = f * s
+    tgt = jnp.where(rank < k, gid * k + rank, total)  # total → dropped
+    idx = jnp.full((total,), sentinel, jnp.int32)
+    idx = idx.at[tgt].set(perm_flat, mode="drop")
+    valid = idx < sentinel
+    xf = x.reshape(f * s, c)
+    pooled = jnp.take(xf, jnp.minimum(idx, sentinel - 1), axis=0)
+    pooled = jnp.where(valid[:, None], pooled, 0)
+    return pooled.reshape(f, sp1, k, c)[:, :num_graph_slots]
+
+
 def sort_pool_dense(x: jax.Array, node_mask: jax.Array, k: int) -> jax.Array:
     """SortPooling for the dense block-diagonal layout: [B, n, C] → [B, k, C].
 

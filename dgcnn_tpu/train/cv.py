@@ -49,6 +49,7 @@ from dgcnn_tpu.train.loop import (
     make_eval_epoch,
     make_train_epoch,
 )
+from dgcnn_tpu.train.cv_vmap import fold_shard_devices
 from dgcnn_tpu.train.metrics import EventLog, FoldMetrics, write_overall_csv
 from dgcnn_tpu.utils.checkpoint import (
     checkpoint_exists,
@@ -95,15 +96,21 @@ def _round_up(x: int, m: int) -> int:
 
 def _lockstep_would_engage(cfg: Config, dataset: GraphSet, n_tile: int) -> bool:
     """Whether the fold-lockstep vmap driver (train/cv_vmap.py) will run
-    this dataset — mirrors the `use_lockstep` decision in
-    run_cross_validation so choose_layout can account for it (lockstep is
-    dense-only and near-K× faster, so a dataset that locksteps should
-    never be demoted off the dense layout)."""
+    this dataset on the DENSE layout — mirrors the `use_lockstep`
+    decision in run_cross_validation so choose_layout can account for it
+    (lockstep is near-K× faster, so a dataset that locksteps should
+    never be demoted off the dense layout).
+
+    A (D, 1) mesh whose D divides the fold count runs lockstep
+    fold-SHARDED (cv_vmap.fold_shard_devices — the SCALING.md pod
+    recipe); the stacked step is split D ways, so the byte budget
+    scales with D."""
     if cfg.cv_parallel == "folds":
-        return True  # explicit request: lockstep runs (dense-only)
+        return True  # explicit request: lockstep runs (dense/block only)
     if cfg.cv_parallel != "auto":
         return False
-    if cfg.mesh_shape != (1, 1):
+    d = fold_shard_devices(cfg.mesh_shape, cfg.num_folds)
+    if d is None:
         return False
     slots = _round_up(cfg.batch_size, cfg.graph_pad_multiple)
     step_bytes = (
@@ -113,7 +120,20 @@ def _lockstep_would_engage(cfg: Config, dataset: GraphSet, n_tile: int) -> bool:
         * (n_tile + dataset.num_features)
         * 4
     )
-    return step_bytes <= cfg.lockstep_max_step_bytes
+    return step_bytes <= cfg.lockstep_max_step_bytes * d
+
+
+def _block_lockstep_would_engage(cfg: Config) -> bool:
+    """Whether the BLOCK layout runs fold-lockstep (VERDICT r3 #1): the
+    fold-batched propagation amortizes per-op issue overhead K× on the
+    latency-bound 128×128-block stream. Engages under auto whenever the
+    mesh is fold-compatible; block batches scale with graph structure
+    (not tile²), so no byte gate is needed at these model sizes."""
+    if cfg.cv_parallel == "folds":
+        return True
+    if cfg.cv_parallel != "auto":
+        return False
+    return fold_shard_devices(cfg.mesh_shape, cfg.num_folds) is not None
 
 
 def choose_layout(cfg: Config, dataset: GraphSet) -> str:
@@ -1337,13 +1357,17 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
         # explicit lockstep request: fail loudly on incompatible settings
         # instead of silently building an infeasible dense dataset
         problems = []
-        if layout != "dense":
+        if layout not in ("dense", "block"):
             problems.append(
-                f"layout={layout!r} (lockstep runs on the single-tile "
-                f"dense layout; this dataset resolved to {layout!r})"
+                f"layout={layout!r} (lockstep runs on the dense or "
+                f"block-sparse layout; this dataset resolved to {layout!r})"
             )
-        if cfg.mesh_shape != (1, 1):
-            problems.append(f"mesh_shape={cfg.mesh_shape} (single chip only)")
+        if fold_shard_devices(cfg.mesh_shape, cfg.num_folds) is None:
+            problems.append(
+                f"mesh_shape={cfg.mesh_shape} (fold-sharded lockstep "
+                f"needs a (D, 1) mesh with D dividing num_folds="
+                f"{cfg.num_folds})"
+            )
         if problems:
             raise ValueError(
                 "cv_parallel='folds' is incompatible with: "
@@ -1351,11 +1375,12 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
             )
         use_lockstep = True
     else:
-        # same predicate choose_layout consulted (a dense dataset that
+        # same predicates choose_layout consulted (a dense dataset that
         # locksteps is never demoted to multi; one that can't may be)
-        use_lockstep = layout == "dense" and _lockstep_would_engage(
-            cfg, dataset, dense_tile(dataset)
-        )
+        use_lockstep = (
+            layout == "dense"
+            and _lockstep_would_engage(cfg, dataset, dense_tile(dataset))
+        ) or (layout == "block" and _block_lockstep_would_engage(cfg))
     from dgcnn_tpu.utils.platform import DispatchWatchdog
 
     # first device work (dataset H2D/densify + first fused epoch program)
@@ -1405,7 +1430,7 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
 
         try:
             train_accs, test_accs = run_cv_folds_vmap(
-                cfg, dataset, model, optimizer, folds, events
+                cfg, dataset, model, optimizer, folds, events, layout=layout
             )
         finally:
             watchdog.cancel()

@@ -54,32 +54,33 @@ from dgcnn_tpu.utils.checkpoint import (
 )
 
 
-def make_dense_vmap_run(model: DGCNN, optimizer: optax.GradientTransformation) -> Callable:
-    """Fused multi-epoch runner over a fold axis F.
+def _make_lockstep_body(
+    optimizer: optax.GradientTransformation,
+    grads_all: Callable,
+    eval_all: Callable,
+) -> Callable:
+    """Layout-generic fused multi-epoch runner over a fold axis F
+    (un-jitted — callers jit it directly or wrap it in shard_map first).
 
         run(params_f, opt_f, rng_f, data, order4d, test_order3d)
             → (params_f, opt_f, rng_f, rows)
 
-    params_f/opt_f/rng_f: pytrees with leading fold axis F (per-fold
-    optimizer state, so masked folds keep their own Adam counts);
-    order4d: [k, steps, F, slots] (−1-padded; an all-(−1) row is a
-    skipped step for that fold); test_order3d: [t_steps, F, slots];
+    grads_all(params_f, data, idx_rows, drop_f) → ((loss_f, corr_f),
+    grads_f) computes every fold's loss/grads for one lockstep step;
+    eval_all(params_f, data, idx_rows) → (loss_f, corr_f) likewise for
+    eval. params_f/opt_f/rng_f: pytrees with leading fold axis F
+    (per-fold optimizer state, so masked folds keep their own Adam
+    counts); order4d: [k, steps, F, slots] (−1-padded; an all-(−1) row
+    is a skipped step for that fold); test_order3d: [t_steps, F, slots];
     rows: [k, F, 4] = (train_loss, test_loss, train_correct,
-    test_correct) per epoch per fold."""
+    test_correct) per epoch per fold.
 
-    def fold_train_loss(params, data, idx_row, dropout_key):
-        batch = gather_dense_batch(data, idx_row)
-        lp = apply(
-            params, model, batch, deterministic=False, dropout_rng=dropout_key
-        )
-        return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
-
-    grad_fold = jax.value_and_grad(fold_train_loss, has_aux=True)
-
-    def fold_eval_loss(params, data, idx_row):
-        batch = gather_dense_batch(data, idx_row)
-        lp = apply(params, model, batch, deterministic=True)
-        return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+    Folds are independent, so the fold axis partitions over a mesh
+    "data" axis with ZERO collectives — the SCALING.md "fold-lockstep ×
+    DP" pod recipe's fold half (the reference fold loop train.py:93-109
+    is embarrassingly parallel). The dense runner relies on jit
+    auto-partitioning of its fold-batched ops; the block runner wraps
+    this body in shard_map (its merged item stream is per-device)."""
 
     def masked_update(real, grads, opt_state, params):
         """One optimizer step, applied only when `real` (scalar bool) —
@@ -92,7 +93,6 @@ def make_dense_vmap_run(model: DGCNN, optimizer: optax.GradientTransformation) -
             jtu.tree_map(keep, new_state, opt_state),
         )
 
-    @jax.jit
     def run(params_f, opt_f, rng_f, data, order4d, test_order3d):
         def step(carry, idx_rows):  # idx_rows [F, slots]
             params_f, opt_f, rng_f = carry
@@ -103,9 +103,9 @@ def make_dense_vmap_run(model: DGCNN, optimizer: optax.GradientTransformation) -
             # per-fold dropout streams must match it exactly
             rng_f = jnp.where(real[:, None], keys[:, 0], rng_f)
             drop_f = keys[:, 1]
-            (loss_f, corr_f), grads_f = jax.vmap(
-                grad_fold, in_axes=(0, None, 0, 0)
-            )(params_f, data, idx_rows, drop_f)
+            (loss_f, corr_f), grads_f = grads_all(
+                params_f, data, idx_rows, drop_f
+            )
             params_f, opt_f = jax.vmap(masked_update)(
                 real, grads_f, opt_f, params_f
             )
@@ -117,9 +117,7 @@ def make_dense_vmap_run(model: DGCNN, optimizer: optax.GradientTransformation) -
             params_f = carry[0]
 
             def eval_body(c, idx_rows):
-                loss_f, corr_f = jax.vmap(fold_eval_loss, in_axes=(0, None, 0))(
-                    params_f, data, idx_rows
-                )
+                loss_f, corr_f = eval_all(params_f, data, idx_rows)
                 rf = (idx_rows >= 0).any(axis=1).astype(jnp.float32)
                 return c, (loss_f * rf, corr_f * rf, rf)
 
@@ -143,6 +141,118 @@ def make_dense_vmap_run(model: DGCNN, optimizer: optax.GradientTransformation) -
         return params_f, opt_f, rng_f, rows
 
     return run
+
+
+def make_dense_vmap_run(
+    model: DGCNN, optimizer: optax.GradientTransformation
+) -> Callable:
+    """Fold-lockstep runner on the single-tile dense layout: per-fold
+    loss/grads vmapped over the fold axis."""
+
+    def fold_train_loss(params, data, idx_row, dropout_key):
+        batch = gather_dense_batch(data, idx_row)
+        lp = apply(
+            params, model, batch, deterministic=False, dropout_rng=dropout_key
+        )
+        return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+    grad_fold = jax.value_and_grad(fold_train_loss, has_aux=True)
+
+    def fold_eval_loss(params, data, idx_row):
+        batch = gather_dense_batch(data, idx_row)
+        lp = apply(params, model, batch, deterministic=True)
+        return nll_loss_and_correct(lp, batch.y, batch.graph_mask)
+
+    def grads_all(params_f, data, idx_rows, drop_f):
+        return jax.vmap(grad_fold, in_axes=(0, None, 0, 0))(
+            params_f, data, idx_rows, drop_f
+        )
+
+    def eval_all(params_f, data, idx_rows):
+        return jax.vmap(fold_eval_loss, in_axes=(0, None, 0))(
+            params_f, data, idx_rows
+        )
+
+    return jax.jit(_make_lockstep_body(optimizer, grads_all, eval_all))
+
+
+def make_block_vmap_run(
+    model: DGCNN,
+    optimizer: optax.GradientTransformation,
+    nb_budget: int,
+    w_budget: int,
+    mesh=None,
+) -> Callable:
+    """Fold-lockstep runner on the block-sparse layout (VERDICT r3 #1):
+    every fold's batch assembles against the SHARED device-resident block
+    pool and the GCN aggregation of all folds runs as ONE merged f-major
+    item stream (models/dgcnn.py block_propagate_folds) — sequential-size
+    (VMEM-fusible) chunk iterations, trip count ∝ the folds' total real
+    items. `w_budget` sizes the merged per-device stream
+    (block_sparse.block_fold_extents). Math per fold is identical to
+    BlockSparseEngine's (tests/test_cv_vmap.py block rows).
+
+    With `mesh`, the whole runner wraps in shard_map over the mesh "data"
+    axis: each device runs its contiguous group of folds with its own
+    merged stream — zero collectives (the pod recipe's fold half)."""
+    from dgcnn_tpu.batching.block_sparse import gather_block_batch_folds
+    from dgcnn_tpu.models.dgcnn import apply_block_folds
+
+    def grads_all(params_f, dev, idx_rows, drop_f):
+        fb = gather_block_batch_folds(dev, idx_rows, nb_budget, w_budget)
+
+        def loss(p_f):
+            lp_f = apply_block_folds(
+                p_f, model, fb, dev.pool, deterministic=False,
+                dropout_rng_f=drop_f,
+            )
+            loss_f, corr_f = jax.vmap(nll_loss_and_correct)(
+                lp_f, fb.y, fb.graph_mask
+            )
+            # folds are independent: grads of the sum ARE per-fold grads
+            return loss_f.sum(), (loss_f, corr_f)
+
+        (_, aux), grads_f = jax.value_and_grad(loss, has_aux=True)(params_f)
+        return aux, grads_f
+
+    def eval_all(params_f, dev, idx_rows):
+        fb = gather_block_batch_folds(dev, idx_rows, nb_budget, w_budget)
+        lp_f = apply_block_folds(params_f, model, fb, dev.pool)
+        return jax.vmap(nll_loss_and_correct)(lp_f, fb.y, fb.graph_mask)
+
+    run = _make_lockstep_body(optimizer, grads_all, eval_all)
+    if mesh is None:
+        return jax.jit(run)
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    state = (P("data"), P("data"), P("data"))
+    return jax.jit(
+        shard_map(
+            run,
+            mesh=mesh,
+            in_specs=state + (P(), P(None, None, "data"), P(None, "data")),
+            out_specs=state + (P(None, "data"),),
+            check_rep=False,
+        )
+    )
+
+
+def fold_shard_devices(mesh_shape, num_folds: int):
+    """Mesh data-axis size usable for fold-sharded lockstep, or None.
+
+    Fold-lockstep puts the K independent fold trainings on a leading
+    vmap axis; sharding that axis over the mesh "data" axis runs K folds
+    concurrently on the mesh with no collectives (the pod recipe half
+    SCALING.md names). Requires a (D, 1) mesh whose D divides K; returns
+    1 for a single-chip run (plain lockstep)."""
+    d, g = mesh_shape
+    if g != 1 or d < 1:
+        return None
+    if d == 1:
+        return 1
+    return d if num_folds % d == 0 else None
 
 
 def _stacked_orders(
@@ -172,22 +282,103 @@ def run_cv_folds_vmap(
     optimizer: optax.GradientTransformation,
     folds: List[Tuple[np.ndarray, np.ndarray]],
     events: EventLog,
+    layout: str = "dense",
 ) -> Tuple[List[float], List[float]]:
-    """Run the whole K-fold experiment in fold-lockstep on the dense
-    layout. Returns (train_accs, test_accs) and writes the sequential
-    driver's artifact set."""
+    """Run the whole K-fold experiment in fold-lockstep on the dense or
+    block-sparse layout, optionally fold-SHARDED over a (D, 1) mesh
+    (fold_shard_devices). Returns (train_accs, test_accs) and writes the
+    sequential driver's artifact set."""
     F = len(folds)
-    n_tile = dense_tile(dataset)
     slots = ((cfg.batch_size + cfg.graph_pad_multiple - 1)
              // cfg.graph_pad_multiple) * cfg.graph_pad_multiple
-    data = build_dense_dataset_on_device(
-        dataset, n_tile, adj_dtype=cfg.resolved_adj_dtype()
-    )
-    if cfg.compute_dtype != "float32":
-        dt = jnp.dtype(cfg.compute_dtype)
-        data = jtu.tree_map(
-            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, data
+
+    n_shard = fold_shard_devices(cfg.mesh_shape, F) or 1
+    mesh = state_shard = order4d_shard = order3d_shard = data_shard = None
+    if n_shard > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dgcnn_tpu.parallel import make_mesh
+
+        mesh = make_mesh(cfg.mesh_shape)
+        state_shard = NamedSharding(mesh, P("data"))
+        order4d_shard = NamedSharding(mesh, P(None, None, "data"))
+        order3d_shard = NamedSharding(mesh, P(None, "data"))
+        data_shard = NamedSharding(mesh, P())
+
+    def put_data(tree):
+        return jax.device_put(tree, data_shard) if data_shard else (
+            jax.device_put(tree)
         )
+
+    if layout == "block":
+        from dgcnn_tpu.batching.block_sparse import (
+            block_fold_extents,
+            build_block_graphset,
+        )
+
+        bdev = build_block_graphset(dataset)
+        nb_host = bdev.nb.astype(np.int64)
+        bc_host = bdev.block_count.astype(np.int64)
+        pool_dt = (
+            cfg.compute_dtype if cfg.compute_dtype != "float32"
+            else cfg.resolved_adj_dtype()
+        )
+        if pool_dt != "float32":
+            import dataclasses as _dc
+
+            bdev = _dc.replace(bdev, pool=bdev.pool.astype(jnp.dtype(pool_dt)))
+        data = put_data(bdev)
+        if cfg.block_impl == "pallas":
+            # the fused CSR kernel is per-batch; the lockstep program runs
+            # the semantically identical merged XLA formulation
+            print(
+                "[dgcnn_tpu] note: fold-lockstep runs the merged XLA "
+                "block formulation (block_impl=pallas is per-batch)"
+            )
+        runs: dict = {}
+        budget_floor = [8, 64]
+
+        def geom_round(x, multiple, ratio=1.3):
+            # grow-only geometric budget grid (same policy as
+            # cv.py DeviceCooEngine._geom_round: bounded padding waste,
+            # logarithmically many compiled programs)
+            v = multiple
+            while v < x:
+                v = ((int(v * ratio) + multiple) // multiple) * multiple
+            return v
+
+        def budget_for(*order_mats):
+            nb = w = 1
+            for m in order_mats:
+                bn, bw = block_fold_extents(nb_host, bc_host, m, n_shard)
+                nb, w = max(nb, bn), max(w, bw)
+            budget_floor[0] = max(budget_floor[0], geom_round(nb, 8))
+            budget_floor[1] = max(budget_floor[1], geom_round(w, 64))
+            return tuple(budget_floor)
+
+        def run_for(budget):
+            if budget not in runs:
+                runs[budget] = make_block_vmap_run(
+                    model, optimizer, *budget, mesh=mesh
+                )
+            return runs[budget]
+    elif layout == "dense":
+        n_tile = dense_tile(dataset)
+        data = build_dense_dataset_on_device(
+            dataset, n_tile, adj_dtype=cfg.resolved_adj_dtype()
+        )
+        if cfg.compute_dtype != "float32":
+            dt = jnp.dtype(cfg.compute_dtype)
+            data = jtu.tree_map(
+                lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, data
+            )
+        if data_shard is not None:
+            data = jax.device_put(data, data_shard)
+        dense_run = make_dense_vmap_run(model, optimizer)
+        budget_for = lambda *order_mats: ()
+        run_for = lambda budget: dense_run
+    else:
+        raise ValueError(f"fold-lockstep supports dense/block, not {layout!r}")
 
     train_idx_f = [np.asarray(tr, np.int32) for tr, _ in folds]
     test_idx_f = [np.asarray(te, np.int32) for _, te in folds]
@@ -204,7 +395,8 @@ def run_cv_folds_vmap(
                 [m, np.full((t_steps_max - len(m), slots), -1, np.int32)]
             )
         test_mats.append(m)
-    test_order3d = jax.device_put(np.stack(test_mats, axis=1))
+    test_order_np = np.stack(test_mats, axis=1)
+    test_order3d = jax.device_put(test_order_np, order3d_shard)
 
     # per-fold RNG: identical streams to the sequential driver (cv.py
     # run_fold) — fold f's init/dropout and shuffles reproduce exactly.
@@ -221,12 +413,19 @@ def run_cv_folds_vmap(
         return jax.vmap(one)(jnp.arange(1, F + 1))
 
     params_f, opt_f, rng_f = _init_all(cfg.seed)
+    if state_shard is not None:
+        params_f, opt_f, rng_f = jax.device_put(
+            (params_f, opt_f, rng_f), state_shard
+        )
+        print(
+            f"[dgcnn_tpu] fold-sharded lockstep: {F} folds over "
+            f"{n_shard} mesh devices ({layout} layout)"
+        )
     shuffles = [
         np.random.default_rng(np.random.SeedSequence([cfg.seed, f]))
         for f in range(1, F + 1)
     ]
 
-    run = make_dense_vmap_run(model, optimizer)
     metrics_f = [FoldMetrics() for _ in range(F)]
     train_edges_f = [
         int(dataset.edge_counts()[np.asarray(tr)].sum()) for tr in train_idx_f
@@ -265,9 +464,11 @@ def run_cv_folds_vmap(
             },
         }
         bundle = load_checkpoint(inflight, like)
-        params_f = jax.device_put(bundle["params_f"])
-        opt_f = jax.device_put(bundle["opt_f"])
-        rng_f = jnp.asarray(bundle["rng_f"])
+        params_f = jax.device_put(bundle["params_f"], state_shard)
+        opt_f = jax.device_put(bundle["opt_f"], state_shard)
+        rng_f = jax.device_put(
+            np.asarray(bundle["rng_f"]), state_shard
+        ) if state_shard is not None else jnp.asarray(bundle["rng_f"])
         epoch = int(bundle["epoch"]) + 1
         if epoch > cfg.num_epochs:
             raise ValueError(
@@ -311,8 +512,10 @@ def run_cv_folds_vmap(
             ]
         )
         t0 = time.perf_counter()
+        run = run_for(budget_for(order4d, test_order_np))
         params_f, opt_f, rng_f, rows = run(
-            params_f, opt_f, rng_f, data, jax.device_put(order4d), test_order3d
+            params_f, opt_f, rng_f, data,
+            jax.device_put(order4d, order4d_shard), test_order3d,
         )
         rows = np.asarray(jax.device_get(rows), dtype=np.float64)  # [k, F, 4]
         dt = (time.perf_counter() - t0) / k

@@ -38,9 +38,16 @@ from dgcnn_tpu.models.dgcnn import DGCNN, Params, apply
 def nll_loss_and_correct(
     log_probs: jax.Array, y: jax.Array, graph_mask: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
-    """Masked NLL (mean over real graphs) and correct-prediction count."""
+    """Masked NLL (mean over real graphs) and correct-prediction count.
+
+    The label pick is a one-hot contraction, NOT take_along_axis: the
+    gather's backward is a scatter, and a fold-vmapped scatter lowers to
+    a serialized per-row loop on TPU (measured 2026-08-20: +28 ms/step
+    on the 10-fold DD lockstep program — 4× the whole rest of the step).
+    The one-hot product's backward is a broadcast multiply; C ≤ 5 here."""
     n = jnp.maximum(graph_mask.sum(), 1.0)
-    ll = jnp.take_along_axis(log_probs, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+    onehot = jax.nn.one_hot(y, log_probs.shape[-1], dtype=log_probs.dtype)
+    ll = (log_probs * onehot).sum(axis=-1)
     loss = -(ll * graph_mask).sum() / n
     pred = jnp.argmax(log_probs, axis=-1).astype(y.dtype)
     correct = ((pred == y).astype(jnp.float32) * graph_mask).sum()

@@ -134,3 +134,62 @@ def test_lockstep_explicit_request_validates(tmp_path):
             _cfg(tmp_path, "z", cv_parallel="folds", mesh_shape=(2, 1)),
             dataset=gs,
         )
+
+
+@pytest.mark.slow
+def test_block_lockstep_matches_sequential(tmp_path):
+    """Fold-lockstep on the BLOCK layout (VERDICT r3 #1): same per-fold
+    results as the sequential BlockSparseEngine — the fold-batched
+    propagation reassociates only across folds, which are independent."""
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=37, seed=5)
+    r_seq = run_cross_validation(
+        _cfg(tmp_path, "bs", cv_parallel="sequential", layout="block"),
+        dataset=gs,
+    )
+    r_vec = run_cross_validation(
+        _cfg(tmp_path, "bv", cv_parallel="folds", layout="block"), dataset=gs
+    )
+    np.testing.assert_allclose(
+        r_vec["test_accuracies"], r_seq["test_accuracies"]
+    )
+    np.testing.assert_allclose(
+        r_vec["train_accuracies"], r_seq["train_accuracies"]
+    )
+    for fold in (1, 2, 3):
+        a = (tmp_path / "bs" / "statistics" / f"MUTAG_results_{fold}.csv").read_text()
+        b = (tmp_path / "bv" / "statistics" / f"MUTAG_results_{fold}.csv").read_text()
+        for ra, rb in zip(a.splitlines()[1:], b.splitlines()[1:]):
+            va = np.array([float(x) for x in ra.split(",")])
+            vb = np.array([float(x) for x in rb.split(",")])
+            np.testing.assert_allclose(vb, va, rtol=5e-4, atol=5e-4,
+                                       err_msg=f"fold {fold}")
+
+
+def test_fold_sharded_lockstep_matches_single_device(tmp_path):
+    """The pod recipe (SCALING.md, VERDICT r3 #2): folds sharded over the
+    mesh "data" axis produce the SAME per-fold metrics as the one-device
+    lockstep run — the fold axis is embarrassingly parallel, so sharding
+    it is a pure partitioning with no collectives and no reassociation."""
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=30, seed=7)
+    kw = dict(num_folds=2, num_epochs=2)
+    r1 = run_cross_validation(
+        _cfg(tmp_path, "f1", cv_parallel="folds", **kw), dataset=gs
+    )
+    r2 = run_cross_validation(
+        _cfg(tmp_path, "f2", cv_parallel="folds", mesh_shape=(2, 1), **kw),
+        dataset=gs,
+    )
+    np.testing.assert_allclose(r2["test_accuracies"], r1["test_accuracies"])
+    np.testing.assert_allclose(r2["train_accuracies"], r1["train_accuracies"])
+
+
+def test_fold_shard_devices_predicate():
+    from dgcnn_tpu.train.cv_vmap import fold_shard_devices
+
+    assert fold_shard_devices((1, 1), 10) == 1
+    assert fold_shard_devices((2, 1), 10) == 2
+    assert fold_shard_devices((5, 1), 10) == 5
+    assert fold_shard_devices((10, 1), 10) == 10
+    assert fold_shard_devices((4, 1), 10) is None   # 10 % 4 != 0
+    assert fold_shard_devices((2, 2), 10) is None   # graph axis must be 1
+    assert fold_shard_devices((8, 1), 8) == 8
