@@ -584,6 +584,90 @@ def _chunked_vjp_bwd(res, g):
 block_propagate_chunked.defvjp(_chunked_vjp_fwd, _chunked_vjp_bwd)
 
 
+def _dense_trunk_folds(
+    params_f: Params, model: DGCNN, batch: DenseGraphBatch, num_folds: int
+) -> jax.Array:
+    """Fold-aware dense trunk for one tile class: batch arrays are FLAT
+    [F·S_c, ...] (fold axis folded into the slot axis — per-slot gathers,
+    the propagation einsum, tanh/mask and the sort all run exactly the
+    ops the sequential trunk runs, just on a longer batch axis; a
+    fold-vmapped form would lower its gathers/scatters to serialized
+    batched variants). Only the weight matmuls and biases see the fold
+    axis, as true batched MXU matmuls. → pooled [F·S_c, k, C]."""
+    dt = jnp.dtype(model.compute_dtype)
+    f = num_folds
+    s = batch.y.shape[0] // f
+    t = batch.x.shape[1]
+    h = batch.x.astype(dt)
+    prop_dt = (
+        jnp.bfloat16
+        if (batch.adj.dtype == jnp.bfloat16 or dt == jnp.bfloat16)
+        else dt
+    )
+    adj = batch.adj.astype(prop_dt)
+    mask = batch.node_mask[..., None].astype(dt)
+    layer_outs = []
+    for layer in params_f["gcn"]:
+        hw = jnp.einsum(
+            "fnd,fdo->fno", h.reshape(f, s * t, -1), layer["w"].astype(dt),
+            preferred_element_type=jnp.float32,
+        ).reshape(f * s, t, -1)
+        agg = jnp.einsum(
+            "bij,bjf->bif", adj, hw.astype(prop_dt),
+            preferred_element_type=jnp.float32,
+        )
+        b = layer["b"][:, None, None, :]  # [F, 1, 1, o]
+        h = jnp.tanh(agg.reshape(f, s, t, -1) + b).reshape(f * s, t, -1)
+        h = (h * mask).astype(dt)
+        layer_outs.append(h)
+    cat = jnp.concatenate(layer_outs, axis=-1)
+    return sort_pool_dense(cat, batch.node_mask, model.sort_pool_k)
+
+
+def apply_multi_dense_folds(
+    params_f: Params,
+    model: DGCNN,
+    batches: Tuple[DenseGraphBatch, ...],
+    num_folds: int,
+    *,
+    deterministic: bool = True,
+    dropout_rng_f: Optional[jax.Array] = None,
+):
+    """Fold-lockstep forward over one batch split by tile class
+    (fold-lockstep twin of `apply_multi_dense`): per-class trunks run on
+    flat [F·S_c] batch axes, pooled rows concatenate per fold, and the
+    readout/MLP head runs once per fold over the union.
+
+    Returns (log_probs [F, ΣS_c, C], y [F, ΣS_c], graph_mask [F, ΣS_c])
+    — slot order within a fold is a permutation of the original batch,
+    irrelevant to the per-batch loss/metric sums."""
+    f = num_folds
+    pooled = jnp.concatenate(
+        [
+            _dense_trunk_folds(params_f, model, b, f).reshape(
+                f, -1, model.sort_pool_k, model.concat_dim
+            )
+            for b in batches
+        ],
+        axis=1,
+    )  # [F, ΣS_c, k, C]
+    y = jnp.concatenate([b.y.reshape(f, -1) for b in batches], axis=1)
+    graph_mask = jnp.concatenate(
+        [b.graph_mask.reshape(f, -1) for b in batches], axis=1
+    )
+    if deterministic:
+        lp = jax.vmap(
+            lambda p, pl: _pooled_to_log_probs(p, model, pl, True, None, {})
+        )(params_f, pooled)
+    else:
+        if dropout_rng_f is None:
+            raise ValueError("dropout_rng_f required when deterministic=False")
+        lp = jax.vmap(
+            lambda p, pl, k: _pooled_to_log_probs(p, model, pl, False, k, {})
+        )(params_f, pooled, dropout_rng_f)
+    return lp, y, graph_mask
+
+
 @jax.custom_vjp
 def block_propagate_folds(
     hb_f: jax.Array,          # [F, nb, bs, D] per-fold features as block-rows

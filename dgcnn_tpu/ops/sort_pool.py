@@ -82,7 +82,11 @@ def sort_pool_folds(
     serialized batched form on TPU (measured 2026-08-20 on the DD
     lockstep step: 4.8 ms/step across the rank gather, the index
     scatter and the row-gather VJP — vs ~0.15 ms for the flat forms).
-    Same math per fold as `sort_pool`."""
+    Same math per fold as `sort_pool`, but as a PURE GATHER: group g's
+    top-i node sits at sorted position starts[g] + i, so the [B·k]
+    output enumerates sorted positions directly — no per-node rank
+    gather and no [F·S]-element index scatter (each measured ~1.3-1.5 ms
+    per DD lockstep step; the gather form touches only B·k indices)."""
     f, s, c = x.shape
     sp1 = num_graph_slots + 1  # per-fold groups incl. the padding group
     key = x[..., -1].astype(jnp.float32)
@@ -95,24 +99,55 @@ def sort_pool_folds(
 
     foff = (jnp.arange(f, dtype=jnp.int32) * sp1)[:, None]
     gid = (g_sorted + foff).reshape(-1)  # [F·S], non-decreasing
-    starts = jnp.searchsorted(
-        gid, jnp.arange(f * sp1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    rank = jnp.arange(f * s, dtype=jnp.int32) - jnp.take(starts, gid)
+    bounds = jnp.searchsorted(
+        gid, jnp.arange(f * sp1 + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)  # group run starts; bounds[-1] == F·S
 
+    # output cell (group, i) ← sorted position starts[group] + i, valid
+    # while it stays inside the group's run
+    pos = bounds[:-1, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    valid = (pos < bounds[1:, None]).reshape(-1)  # [F·sp1·k]
+    pos = jnp.minimum(pos, f * s - 1).reshape(-1)
     perm_flat = (
         perm + (jnp.arange(f, dtype=jnp.int32) * s)[:, None]
     ).reshape(-1)
-    total = f * sp1 * k
-    sentinel = f * s
-    tgt = jnp.where(rank < k, gid * k + rank, total)  # total → dropped
-    idx = jnp.full((total,), sentinel, jnp.int32)
-    idx = idx.at[tgt].set(perm_flat, mode="drop")
-    valid = idx < sentinel
+    rows = jnp.take(perm_flat, pos)  # [F·sp1·k] node rows, unique-if-valid
+    # invalid cells → distinct out-of-range rows, so the backward's
+    # scatter-add carries genuinely UNIQUE indices (drop-mode removes
+    # them); without the hint XLA emits a serialized general scatter
+    # (measured 1.25 ms/step on the DD lockstep program)
+    rows_grad = jnp.where(
+        valid, rows, f * s + jnp.arange(rows.shape[0], dtype=jnp.int32)
+    )
     xf = x.reshape(f * s, c)
-    pooled = jnp.take(xf, jnp.minimum(idx, sentinel - 1), axis=0)
+    pooled = _unique_rows_gather(xf, rows_grad)
     pooled = jnp.where(valid[:, None], pooled, 0)
     return pooled.reshape(f, sp1, k, c)[:, :num_graph_slots]
+
+
+@jax.custom_vjp
+def _unique_rows_gather(xf: jax.Array, rows: jax.Array) -> jax.Array:
+    """`xf[min(rows, n-1)]` whose backward is a UNIQUE-index scatter-add:
+    callers guarantee `rows` are pairwise distinct, with out-of-range
+    values marking rows whose cotangent must be dropped."""
+    return jnp.take(xf, jnp.minimum(rows, xf.shape[0] - 1), axis=0)
+
+
+def _unique_rows_gather_fwd(xf, rows):
+    return _unique_rows_gather(xf, rows), (rows, xf.shape[0])
+
+
+def _unique_rows_gather_bwd(res, g):
+    import numpy as np
+
+    rows, n = res
+    d_xf = jnp.zeros((n, g.shape[1]), g.dtype).at[rows].add(
+        g, mode="drop", unique_indices=True
+    )
+    return d_xf, np.zeros(rows.shape, dtype=jax.dtypes.float0)
+
+
+_unique_rows_gather.defvjp(_unique_rows_gather_fwd, _unique_rows_gather_bwd)
 
 
 def sort_pool_dense(x: jax.Array, node_mask: jax.Array, k: int) -> jax.Array:
@@ -120,12 +155,25 @@ def sort_pool_dense(x: jax.Array, node_mask: jax.Array, k: int) -> jax.Array:
 
     `lax.top_k` on the masked last channel; equal keys resolve to the lower
     node index (matching PyG's stable descending sort); graphs with fewer
-    than k real nodes zero-pad (−inf sentinel rows are zeroed)."""
+    than k real nodes zero-pad (−inf sentinel rows are zeroed).
+
+    Row selection is a ONE-HOT MXU matmul, not take_along_axis: the
+    per-row gather and its scatter-add transpose were the two hottest ops
+    of the NCI1 fold-lockstep step (287 µs of 624, 2026-08-20 trace);
+    the one-hot einsum and its matmul transpose stream at memory
+    bandwidth in both directions. Exact row values (each output row is
+    1.0 × one input row, fp32-accumulated)."""
     if x.shape[1] < k:  # whole dataset smaller than k → pad node axis
         pad = k - x.shape[1]
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         node_mask = jnp.pad(node_mask, ((0, 0), (0, pad)))
     key = jnp.where(node_mask > 0, x[..., -1].astype(jnp.float32), -jnp.inf)
     top_val, top_idx = jax.lax.top_k(key, k)
-    pooled = jnp.take_along_axis(x, top_idx[..., None], axis=1)
+    onehot = (
+        top_idx[..., None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, x.shape[1]), 2)
+    ).astype(x.dtype)  # [B, k, n]
+    pooled = jnp.einsum(
+        "bkn,bnc->bkc", onehot, x, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
     return jnp.where(jnp.isfinite(top_val)[..., None], pooled, 0.0)

@@ -123,12 +123,13 @@ def _lockstep_would_engage(cfg: Config, dataset: GraphSet, n_tile: int) -> bool:
     return step_bytes <= cfg.lockstep_max_step_bytes * d
 
 
-def _block_lockstep_would_engage(cfg: Config) -> bool:
-    """Whether the BLOCK layout runs fold-lockstep (VERDICT r3 #1): the
-    fold-batched propagation amortizes per-op issue overhead K× on the
-    latency-bound 128×128-block stream. Engages under auto whenever the
-    mesh is fold-compatible; block batches scale with graph structure
-    (not tile²), so no byte gate is needed at these model sizes."""
+def _batched_lockstep_would_engage(cfg: Config) -> bool:
+    """Whether the BLOCK or MULTI layouts run fold-lockstep (VERDICT r3
+    #1): their fold-batched forms amortize per-op issue overhead K× (the
+    multi step is ~95% fixed overhead at COLLAB scale — measured
+    2026-08-20). Engages under auto whenever the mesh is
+    fold-compatible; both layouts' batches scale with graph structure
+    (not max-tile²), so no byte gate is needed at these model sizes."""
     if cfg.cv_parallel == "folds":
         return True
     if cfg.cv_parallel != "auto":
@@ -176,7 +177,10 @@ def choose_layout(cfg: Config, dataset: GraphSet) -> str:
         and dense_dataset_bytes(dataset, n_tile, adj_bytes)
         <= cfg.dense_max_device_bytes
     ):
-        if cfg.mesh_shape == (1, 1) and not _lockstep_would_engage(
+        multi_runnable = cfg.mesh_shape == (1, 1) or (
+            _batched_lockstep_would_engage(cfg)
+        )
+        if multi_runnable and not _lockstep_would_engage(
             cfg, dataset, n_tile
         ):
             # Sequential-fold regime: the per-step adjacency gather is
@@ -1357,10 +1361,11 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
         # explicit lockstep request: fail loudly on incompatible settings
         # instead of silently building an infeasible dense dataset
         problems = []
-        if layout not in ("dense", "block"):
+        if layout not in ("dense", "block", "multi"):
             problems.append(
-                f"layout={layout!r} (lockstep runs on the dense or "
-                f"block-sparse layout; this dataset resolved to {layout!r})"
+                f"layout={layout!r} (lockstep runs on the dense, "
+                f"block-sparse or multi-tile layout; this dataset "
+                f"resolved to {layout!r})"
             )
         if fold_shard_devices(cfg.mesh_shape, cfg.num_folds) is None:
             problems.append(
@@ -1377,10 +1382,22 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
     else:
         # same predicates choose_layout consulted (a dense dataset that
         # locksteps is never demoted to multi; one that can't may be)
+        d = fold_shard_devices(cfg.mesh_shape, cfg.num_folds)
         use_lockstep = (
             layout == "dense"
             and _lockstep_would_engage(cfg, dataset, dense_tile(dataset))
-        ) or (layout == "block" and _block_lockstep_would_engage(cfg))
+        ) or (
+            layout == "block" and _batched_lockstep_would_engage(cfg)
+        ) or (
+            # multi-lockstep measured SLOWER than the sequential multi
+            # engine on one chip (23.2 vs 14.7 ms/fold-epoch, COLLAB
+            # 2026-08-20) — engage it under auto only when a fold-
+            # shardable mesh makes K-fold concurrency the win
+            layout == "multi"
+            and cfg.cv_parallel == "auto"
+            and d is not None
+            and d > 1
+        )
     from dgcnn_tpu.utils.platform import DispatchWatchdog
 
     # first device work (dataset H2D/densify + first fused epoch program)

@@ -93,11 +93,20 @@ def _make_lockstep_body(
             jtu.tree_map(keep, new_state, opt_state),
         )
 
+    def real_folds(idx_rows):
+        # [F] bool: does fold f have any real graph in this step? idx_rows
+        # is [F, slots] or a pytree of per-class [F, S_c] (multi layout)
+        leaves = jtu.tree_leaves(idx_rows)
+        r = (leaves[0] >= 0).any(axis=-1)
+        for m in leaves[1:]:
+            r = r | (m >= 0).any(axis=-1)
+        return r
+
     def run(params_f, opt_f, rng_f, data, order4d, test_order3d):
-        def step(carry, idx_rows):  # idx_rows [F, slots]
+        def step(carry, idx_rows):  # idx_rows [F, slots] (or pytree)
             params_f, opt_f, rng_f = carry
             keys = jax.vmap(jax.random.split)(rng_f)  # [F, 2, key]
-            real = (idx_rows >= 0).any(axis=1)  # [F]
+            real = real_folds(idx_rows)  # [F]
             # folds skipping this step must NOT consume a PRNG split —
             # the sequential driver splits once per REAL step, and the
             # per-fold dropout streams must match it exactly
@@ -118,7 +127,7 @@ def _make_lockstep_body(
 
             def eval_body(c, idx_rows):
                 loss_f, corr_f = eval_all(params_f, data, idx_rows)
-                rf = (idx_rows >= 0).any(axis=1).astype(jnp.float32)
+                rf = real_folds(idx_rows).astype(jnp.float32)
                 return c, (loss_f * rf, corr_f * rf, rf)
 
             _, (te_losses, te_corrects, te_reals) = jax.lax.scan(
@@ -147,7 +156,13 @@ def make_dense_vmap_run(
     model: DGCNN, optimizer: optax.GradientTransformation
 ) -> Callable:
     """Fold-lockstep runner on the single-tile dense layout: per-fold
-    loss/grads vmapped over the fold axis."""
+    loss/grads vmapped over the fold axis. NOTE the asymmetry with the
+    block/multi runners: at small dense tiles the per-index gather
+    payload is large (a whole [n_tile, n_tile] adjacency row block), so
+    fold-vmapped gathers are bandwidth-bound and FINE here — a flat
+    [F·slots] single-gather rewrite measured 88.8 vs 54.3 ms per NCI1
+    train-only lockstep epoch (2026-08-20 on-chip A/B) and was
+    reverted."""
 
     def fold_train_loss(params, data, idx_row, dropout_key):
         batch = gather_dense_batch(data, idx_row)
@@ -224,7 +239,7 @@ def make_block_vmap_run(
     if mesh is None:
         return jax.jit(run)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     state = (P("data"), P("data"), P("data"))
@@ -234,7 +249,65 @@ def make_block_vmap_run(
             mesh=mesh,
             in_specs=state + (P(), P(None, None, "data"), P(None, "data")),
             out_specs=state + (P(None, "data"),),
-            check_rep=False,
+            check_vma=False,
+        )
+    )
+
+
+def make_multi_vmap_run(
+    model: DGCNN,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+) -> Callable:
+    """Fold-lockstep runner on the size-bucketed multi-tile dense layout
+    (the COLLAB default): per-class batches gather on FLAT [F·S_c] slot
+    axes (models/dgcnn.py apply_multi_dense_folds) — the multi step is
+    ~95% fixed per-op overhead at COLLAB scale, so fold-batching it is
+    near-free throughput. Orders arrive as a TUPLE of per-class
+    [.., steps, F, S_c] tensors."""
+    from dgcnn_tpu.batching.dense import gather_dense_batch
+    from dgcnn_tpu.models.dgcnn import apply_multi_dense_folds
+
+    def batches_of(classes, idx_rows_t):
+        F = jtu.tree_leaves(idx_rows_t)[0].shape[0]
+        return tuple(
+            gather_dense_batch(d, r.reshape(-1))
+            for d, r in zip(classes, idx_rows_t)
+        ), F
+
+    def grads_all(params_f, classes, idx_rows_t, drop_f):
+        bs, F = batches_of(classes, idx_rows_t)
+
+        def loss(p_f):
+            lp, y, gm = apply_multi_dense_folds(
+                p_f, model, bs, F, deterministic=False, dropout_rng_f=drop_f
+            )
+            loss_f, corr_f = jax.vmap(nll_loss_and_correct)(lp, y, gm)
+            return loss_f.sum(), (loss_f, corr_f)
+
+        (_, aux), grads_f = jax.value_and_grad(loss, has_aux=True)(params_f)
+        return aux, grads_f
+
+    def eval_all(params_f, classes, idx_rows_t):
+        bs, F = batches_of(classes, idx_rows_t)
+        lp, y, gm = apply_multi_dense_folds(params_f, model, bs, F)
+        return jax.vmap(nll_loss_and_correct)(lp, y, gm)
+
+    run = _make_lockstep_body(optimizer, grads_all, eval_all)
+    if mesh is None:
+        return jax.jit(run)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    state = (P("data"), P("data"), P("data"))
+    return jax.jit(
+        shard_map(
+            run,
+            mesh=mesh,
+            in_specs=state + (P(), P(None, None, "data"), P(None, "data")),
+            out_specs=state + (P(None, "data"),),
+            check_vma=False,
         )
     )
 
@@ -310,6 +383,36 @@ def run_cv_folds_vmap(
             jax.device_put(tree)
         )
 
+    train_idx_f = [np.asarray(tr, np.int32) for tr, _ in folds]
+    test_idx_f = [np.asarray(te, np.int32) for _, te in folds]
+    n_train_f = np.array([len(t) for t in train_idx_f])
+    n_test_f = np.array([len(t) for t in test_idx_f])
+    steps_max = int(max(-(-n // cfg.batch_size) for n in n_train_f))
+    t_steps_max = int(max(-(-n // cfg.batch_size) for n in n_test_f))
+    shuffles = [
+        np.random.default_rng(np.random.SeedSequence([cfg.seed, f]))
+        for f in range(1, F + 1)
+    ]
+
+    def _stacked_test_orders() -> np.ndarray:
+        test_mats = []
+        for te in test_idx_f:
+            m = order_matrix(te, cfg.batch_size, slots)
+            if len(m) < t_steps_max:
+                m = np.concatenate(
+                    [m, np.full((t_steps_max - len(m), slots), -1, np.int32)]
+                )
+            test_mats.append(m)
+        return np.stack(test_mats, axis=1)
+
+    def _epoch_perms():
+        return [rng.permutation(n) for rng, n in zip(shuffles, n_train_f)]
+
+    # Each layout provides:
+    #   build_chunk(k) → (order4d pytree with leaves [k, steps, F, ·],
+    #                     test orders pytree with leaves [t_steps, F, ·],
+    #                     run signature)  — consuming k epochs' shuffles
+    #   run_for(signature) → the jitted runner for those budgets
     if layout == "block":
         from dgcnn_tpu.batching.block_sparse import (
             block_fold_extents,
@@ -356,12 +459,112 @@ def run_cv_folds_vmap(
             budget_floor[1] = max(budget_floor[1], geom_round(w, 64))
             return tuple(budget_floor)
 
+        test_order_np = _stacked_test_orders()
+
+        def build_chunk(k):
+            order4d = np.stack([
+                _stacked_orders(train_idx_f, _epoch_perms(),
+                                cfg.batch_size, slots, steps_max)
+                for _ in range(k)
+            ])
+            return order4d, test_order_np, budget_for(order4d, test_order_np)
+
         def run_for(budget):
             if budget not in runs:
                 runs[budget] = make_block_vmap_run(
                     model, optimizer, *budget, mesh=mesh
                 )
             return runs[budget]
+    elif layout == "multi":
+        from dgcnn_tpu.batching.multi_dense import (
+            build_multi_dense_on_device,
+            class_batch_counts,
+            plan_tiles,
+            route_order_rows,
+        )
+
+        tiles = plan_tiles(dataset.node_counts(), cfg.multi_dense_min_tile)
+        classes, routing = build_multi_dense_on_device(
+            dataset, tiles, adj_dtype=cfg.resolved_adj_dtype()
+        )
+        if cfg.compute_dtype != "float32":
+            dt = jnp.dtype(cfg.compute_dtype)
+            classes = jtu.tree_map(
+                lambda a: a.astype(dt) if a.dtype == jnp.float32 else a,
+                classes,
+            )
+        data = put_data(classes)
+        # grow-only per-class slot floors, pre-warmed over sampled
+        # shuffles and capped — same policy as cv.py MultiDenseEngine
+        slot_floor = np.full(len(tiles), 4, dtype=np.int64)
+
+        def slots_for(*ids_seqs):
+            nonlocal slot_floor
+            need = slot_floor
+            for ids in ids_seqs:
+                counts = class_batch_counts(routing, ids, cfg.batch_size)
+                need = np.maximum(need, counts.max(axis=0))
+            slot_floor = -(-need // 4) * 4
+            return tuple(int(s) for s in slot_floor)
+
+        warm_rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, 0]))
+        slots_for(
+            *(warm_rng.permutation(dataset.num_graphs) for _ in range(40))
+        )
+        cap = -(-cfg.batch_size // 4) * 4
+        slot_floor = np.minimum(slot_floor, cap)
+
+        def _fold_orders(ids, cslots, n_steps):
+            # one fold's epoch → per class [n_steps, S_c], −1 step-padded
+            bs = cfg.batch_size
+            rows = [
+                route_order_rows(routing, ids[i : i + bs], cslots)
+                for i in range(0, len(ids), bs)
+            ]
+            out = []
+            for c, s_c in enumerate(cslots):
+                m = np.stack([r[c] for r in rows]) if rows else \
+                    np.zeros((0, s_c), np.int32)
+                if len(m) < n_steps:
+                    m = np.concatenate(
+                        [m, np.full((n_steps - len(m), s_c), -1, np.int32)]
+                    )
+                out.append(m)
+            return out
+
+        def build_chunk(k):
+            ids_k = [
+                [train_idx_f[f][p] for f, p in enumerate(_epoch_perms())]
+                for _ in range(k)
+            ]
+            cslots = slots_for(
+                *(ids for epoch_ids in ids_k for ids in epoch_ids),
+                *test_idx_f,
+            )
+            per_epoch = []
+            for epoch_ids in ids_k:
+                per_fold = [
+                    _fold_orders(ids, cslots, steps_max) for ids in epoch_ids
+                ]
+                per_epoch.append(tuple(
+                    np.stack([pf[c] for pf in per_fold], axis=1)
+                    for c in range(len(cslots))
+                ))
+            order4d = tuple(
+                np.stack([pe[c] for pe in per_epoch])
+                for c in range(len(cslots))
+            )
+            test_pf = [
+                _fold_orders(te, cslots, t_steps_max) for te in test_idx_f
+            ]
+            test_np = tuple(
+                np.stack([pf[c] for pf in test_pf], axis=1)
+                for c in range(len(cslots))
+            )
+            return order4d, test_np, cslots
+
+        multi_run = make_multi_vmap_run(model, optimizer, mesh=mesh)
+        run_for = lambda sig: multi_run  # shapes flow from the arrays
     elif layout == "dense":
         n_tile = dense_tile(dataset)
         data = build_dense_dataset_on_device(
@@ -375,28 +578,21 @@ def run_cv_folds_vmap(
         if data_shard is not None:
             data = jax.device_put(data, data_shard)
         dense_run = make_dense_vmap_run(model, optimizer)
-        budget_for = lambda *order_mats: ()
-        run_for = lambda budget: dense_run
+        test_order_np = _stacked_test_orders()
+
+        def build_chunk(k):
+            order4d = np.stack([
+                _stacked_orders(train_idx_f, _epoch_perms(),
+                                cfg.batch_size, slots, steps_max)
+                for _ in range(k)
+            ])
+            return order4d, test_order_np, ()
+
+        run_for = lambda sig: dense_run
     else:
-        raise ValueError(f"fold-lockstep supports dense/block, not {layout!r}")
-
-    train_idx_f = [np.asarray(tr, np.int32) for tr, _ in folds]
-    test_idx_f = [np.asarray(te, np.int32) for _, te in folds]
-    n_train_f = np.array([len(t) for t in train_idx_f])
-    n_test_f = np.array([len(t) for t in test_idx_f])
-    steps_max = int(max(-(-n // cfg.batch_size) for n in n_train_f))
-    t_steps_max = int(max(-(-n // cfg.batch_size) for n in n_test_f))
-
-    test_mats = []
-    for te in test_idx_f:
-        m = order_matrix(te, cfg.batch_size, slots)
-        if len(m) < t_steps_max:
-            m = np.concatenate(
-                [m, np.full((t_steps_max - len(m), slots), -1, np.int32)]
-            )
-        test_mats.append(m)
-    test_order_np = np.stack(test_mats, axis=1)
-    test_order3d = jax.device_put(test_order_np, order3d_shard)
+        raise ValueError(
+            f"fold-lockstep supports dense/block/multi, not {layout!r}"
+        )
 
     # per-fold RNG: identical streams to the sequential driver (cv.py
     # run_fold) — fold f's init/dropout and shuffles reproduce exactly.
@@ -421,11 +617,6 @@ def run_cv_folds_vmap(
             f"[dgcnn_tpu] fold-sharded lockstep: {F} folds over "
             f"{n_shard} mesh devices ({layout} layout)"
         )
-    shuffles = [
-        np.random.default_rng(np.random.SeedSequence([cfg.seed, f]))
-        for f in range(1, F + 1)
-    ]
-
     metrics_f = [FoldMetrics() for _ in range(F)]
     train_edges_f = [
         int(dataset.edge_counts()[np.asarray(tr)].sum()) for tr in train_idx_f
@@ -499,23 +690,13 @@ def run_cv_folds_vmap(
                 k,
                 cfg.checkpoint_every - (epoch - 1) % cfg.checkpoint_every,
             )
-        order4d = np.stack(
-            [
-                _stacked_orders(
-                    train_idx_f,
-                    [rng.permutation(n) for rng, n in zip(shuffles, n_train_f)],
-                    cfg.batch_size,
-                    slots,
-                    steps_max,
-                )
-                for _ in range(k)
-            ]
-        )
+        order4d_np, test_np, runsig = build_chunk(k)
         t0 = time.perf_counter()
-        run = run_for(budget_for(order4d, test_order_np))
+        run = run_for(runsig)
         params_f, opt_f, rng_f, rows = run(
             params_f, opt_f, rng_f, data,
-            jax.device_put(order4d, order4d_shard), test_order3d,
+            jax.device_put(order4d_np, order4d_shard),
+            jax.device_put(test_np, order3d_shard),
         )
         rows = np.asarray(jax.device_get(rows), dtype=np.float64)  # [k, F, 4]
         dt = (time.perf_counter() - t0) / k

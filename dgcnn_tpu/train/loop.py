@@ -41,10 +41,11 @@ def nll_loss_and_correct(
     """Masked NLL (mean over real graphs) and correct-prediction count.
 
     The label pick is a one-hot contraction, NOT take_along_axis: the
-    gather's backward is a scatter, and a fold-vmapped scatter lowers to
-    a serialized per-row loop on TPU (measured 2026-08-20: +28 ms/step
-    on the 10-fold DD lockstep program — 4× the whole rest of the step).
-    The one-hot product's backward is a broadcast multiply; C ≤ 5 here."""
+    gather's backward is a scatter, and scatters under a fold-vmapped
+    program lower poorly on TPU (the 2026-08-20 lockstep traces showed
+    every batched gather/scatter serializing). The one-hot product's
+    backward is a broadcast multiply; C ≤ 5 here, so the extra compare
+    is free either way."""
     n = jnp.maximum(graph_mask.sum(), 1.0)
     onehot = jax.nn.one_hot(y, log_probs.shape[-1], dtype=log_probs.dtype)
     ll = (log_probs * onehot).sum(axis=-1)

@@ -160,9 +160,12 @@ def test_auto_layout_demotes_padding_wasteful_dense_to_multi():
     # explicit lockstep request is dense-only — never demoted
     folds = Config(data_type="COLLAB", cv_parallel="folds")
     assert choose_layout(folds, gs) == "dense"
-    # a mesh run must not resolve to the single-chip-only multi engine
+    # a fold-shardable (D, 1) mesh CAN resolve to multi (fold-lockstep
+    # runs it sharded over the data axis); a graph-axis mesh cannot
     mesh = Config(data_type="COLLAB", mesh_shape=(2, 1))
-    assert choose_layout(mesh, gs) == "dense"
+    assert choose_layout(mesh, gs) == "multi"
+    mesh_g = Config(data_type="COLLAB", mesh_shape=(2, 2))
+    assert choose_layout(mesh_g, gs) == "dense"
 
 
 @pytest.mark.slow
