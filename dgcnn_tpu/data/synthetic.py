@@ -28,7 +28,7 @@ from dgcnn_tpu.data.tu_parser import assemble_features
 
 # bump whenever generated output changes — the synthetic npz cache filename
 # embeds it, so stale caches from an older generator never get loaded
-SYNTHETIC_VERSION = 3
+SYNTHETIC_VERSION = 4
 
 # Shape statistics of the eight reference benchmarks (graph/class counts:
 # reference README.md:62-83; feature decomposition: README.md:84-94 and
@@ -50,6 +50,19 @@ PROFILES = {
     "DD": dict(num_graphs=1178, num_classes=2, num_attrs=0,
                num_node_labels=89, avg_nodes=284.32, max_nodes=5748,
                avg_degree=5.03, sigma=0.80),
+    # COLLAB default = the measured optimum of the generator-v4 sweep
+    # (2026-08-20, tools/probe_collab_signal.py + inline follow-ups,
+    # 3-fold × 40-epoch on-chip): two-block (assort 0.7, size_shift 0.2)
+    # → 69.6%; EVERY added lever lowered it — the union-of-cliques
+    # ego-network family (`family="cliques"`, the REAL COLLAB generative
+    # process: class sets mean clique size clique_frac·clique_sep^±1)
+    # measured 54.0-59.1% across (frac, sep) ∈ {.25,.35,.45}×{2,3};
+    # degree-tail separation (ratio_sep 1.2/1.5/2.0) 59.7-66.6%;
+    # assort/size neighbors (0.6-0.8 × 0.2-0.25) 61.5-65.2%. At COLLAB's
+    # ~90% mean edge density, local clique structure does NOT transport
+    # through degree-only features + per-graph normalization + top-k
+    # pooling in this synthetic regime — a MEASURED ceiling now, not an
+    # asserted one. The levers stay profile-tunable for re-sweeps.
     "COLLAB": dict(num_graphs=5000, num_classes=3, num_attrs=0,
                    num_node_labels=0, avg_nodes=74.49, max_nodes=492,
                    avg_degree=65.97, sigma=0.50),
@@ -130,6 +143,41 @@ def _sample_two_block(rng: np.random.Generator, n: int, target_m: int,
     return (codes // n).astype(np.int32), (codes % n).astype(np.int32)
 
 
+def _sample_ego_cliques(rng: np.random.Generator, n: int, target_m: int,
+                        frac: float, spread: float = 0.4):
+    """Union-of-cliques ego-network with ~`target_m` undirected edges:
+    cliques of lognormal mean size `frac·n` are unioned until the edge
+    budget fills (the last clique is randomly truncated to land on it);
+    a Hamiltonian-path backbone keeps degree ≥ 1.
+
+    This is HOW the real COLLAB graphs arise — each graph is a
+    researcher's ego collaboration network, i.e. a union of co-author
+    cliques — so the class lever (mean clique size via `frac`) plants
+    exactly the local-structure signal (triangle/ego-clique density)
+    that distinguishes the real classes' collaboration cultures: few
+    large collaborations vs many small ones at the SAME size and edge
+    density. Degree features can read it through GCN aggregation because
+    clique co-membership correlates neighbor degrees over multiple hops."""
+    chain_u = np.arange(n - 1, dtype=np.int64)
+    codes = chain_u * n + (chain_u + 1)
+    target = int(np.clip(target_m, 1, n * (n - 1) // 2))
+    mean_size = float(np.clip(frac * n, 2.0, n))
+    mu = np.log(mean_size) - spread ** 2 / 2.0  # lognormal MEAN = frac·n
+    while len(codes) < target:
+        size = int(np.clip(round(rng.lognormal(mu, spread)), 2, n))
+        members = np.sort(rng.choice(n, size=size, replace=False))
+        iu, iv = np.triu_indices(size, 1)
+        new = np.setdiff1d(
+            members[iu].astype(np.int64) * n + members[iv], codes
+        )
+        need = target - len(codes)
+        if len(new) > need:
+            new = rng.permutation(new)[:need]
+        codes = np.concatenate([codes, new])
+    codes = np.sort(codes)
+    return (codes // n).astype(np.int32), (codes % n).astype(np.int32)
+
+
 def synthesize_tu_dataset(
     name: str, num_graphs: Optional[int] = None, seed: int = 0,
     use_node_attr: bool = True,
@@ -185,14 +233,31 @@ def synthesize_tu_dataset(
         ))
         # planted signal: class shifts edge density ±25%
         d = p["avg_degree"] * (1.0 + 0.25 * (float(y[i]) - (c - 1) / 2.0))
-        if degree_only:
+        if degree_only and p.get("family") == "cliques":
+            # class sets the clique-size distribution of the ego-network:
+            # class y's cliques average clique_frac·clique_sep^(y−(c−1)/2)
+            # of the graph — same size and edge budget, different local
+            # structure (_sample_ego_cliques)
+            frac = p.get("clique_frac", 0.35) * p.get(
+                "clique_sep", 2.0
+            ) ** (float(y[i]) - (c - 1) / 2.0)
+            u, v = _sample_ego_cliques(rng, n, round(n * d / 2.0), frac)
+        elif degree_only:
             # class additionally sets the degree assortativity — see
             # _sample_two_block for why the density shift alone does not
             # reach the model through normalization + top-k SortPooling on
             # the larger graphs (it DOES for sub-k graphs, where
-            # SortPooling keeps every node — the signals compose)
+            # SortPooling keeps every node — the signals compose).
+            # ratio_sep (optional) further separates the degree-TAIL
+            # shape per class (core weight ratio), which survives the
+            # per-graph max normalization as a histogram-shape signal
             t = assort * (2.0 * float(y[i]) / max(1, c - 1) - 1.0)
-            u, v = _sample_two_block(rng, n, round(n * d / 2.0), t)
+            ratio = 4.0 * p.get("ratio_sep", 1.0) ** (
+                float(y[i]) - (c - 1) / 2.0
+            )
+            u, v = _sample_two_block(
+                rng, n, round(n * d / 2.0), t, ratio=ratio
+            )
         else:
             u, v = _sample_undirected_edges(rng, n, round(n * d / 2.0))
         # store both directions (TU graphs are symmetric — SURVEY §2c)

@@ -53,19 +53,24 @@ def main(argv=None) -> int:
     from dgcnn_tpu.data import synthetic
     from dgcnn_tpu.train.cv import run_cross_validation
 
-    candidates = [
-        (0.7, 0.2),   # the v3 defaults — the 64.88% baseline setting
-        (0.9, 0.2),   # stronger assortativity only
-        (0.7, 0.3),   # stronger size separation only
-        (0.9, 0.3),   # both
-    ]
+    # generator-v4 sweep: the clique ego-network family (the real
+    # COLLAB generative process) vs the v3 two-block control, plus
+    # clique-size/separation variations and a no-size-shift ablation
+    # (pure local-structure signal). Keys name the overrides.
+    candidates = {
+        "two_block_default": dict(),  # the measured optimum (69.6%)
+        "cliques_f35_sep2": dict(family="cliques"),
+        "cliques_f25_sep3": dict(family="cliques", clique_frac=0.25,
+                                 clique_sep=3.0),
+        "cliques_f45_sep2": dict(family="cliques", clique_frac=0.45,
+                                 clique_sep=2.0),
+        "cliques_f35_sep2_noshift": dict(family="cliques", size_shift=0.0),
+    }
     out = {}
     base = dict(synthetic.PROFILES["COLLAB"])
     try:
-        for assort, shift in candidates:
-            synthetic.PROFILES["COLLAB"] = dict(
-                base, assort=assort, size_shift=shift
-            )
+        for key, overrides in candidates.items():
+            synthetic.PROFILES["COLLAB"] = dict(base, **overrides)
             gs = synthetic.synthesize_tu_dataset("COLLAB", seed=0)
             with tempfile.TemporaryDirectory() as td:
                 result = run_cross_validation(
@@ -79,7 +84,6 @@ def main(argv=None) -> int:
                     ),
                     dataset=gs,
                 )
-            key = f"a{assort}_s{shift}"
             out[key] = {
                 "test_acc": round(float(result["test_accuracy_mean"]), 2),
                 "test_std": round(float(result["test_accuracy_std"]), 2),
