@@ -412,6 +412,38 @@ def _bench_block(train, epochs_per_dispatch=6, dtype="float32",
     return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
 
 
+def _model_flops_per_epoch(train):
+    """Useful (mathematical) model FLOPs of ONE training epoch over
+    `train`: forward matmul/aggregation/readout FLOPs summed per graph,
+    ×3 for forward+backward (the standard MFU convention). Counts the
+    MODEL's math — 2·E·C per aggregation, 2·N·in·out per weight matmul —
+    not any layout's padded compute, so the ratio is comparable across
+    engines (VERDICT r3 #7)."""
+    n = float(train.node_counts().sum())
+    e = _epoch_edges(train)  # aggregated edges (self-loops stripped)
+    g = float(train.num_graphs)
+    fin, c = train.num_features, train.num_classes
+    hidden = (32, 32, 32, 1)
+    per_node = 0.0
+    prev = fin
+    for h in hidden:
+        per_node += 2.0 * prev * h
+        prev = h
+    per_edge = 2.0 * sum(hidden)  # 4 aggregations over the concat widths
+    per_graph = 2.0 * (30 * 97 * 16 + 11 * 5 * 16 * 32 + 352 * 128 + 128 * c)
+    fwd = n * per_node + e * per_edge + g * per_graph
+    return 3.0 * fwd
+
+
+def _attach_mfu(row, train, epoch_seconds):
+    from dgcnn_tpu.utils.profiling import V5E_MXU_BF16_TFLOPS
+
+    tflops = _model_flops_per_epoch(train) / epoch_seconds / 1e12
+    row["model_tflops"] = round(tflops, 3)
+    row["mfu_pct"] = round(tflops / V5E_MXU_BF16_TFLOPS * 100.0, 3)
+    return row
+
+
 def _epoch_edges(train):
     # self-loops are stripped at pack time; count edges actually aggregated
     counts = train.edge_counts()
@@ -490,6 +522,7 @@ def main():
                     REFERENCE_EPOCH_SECONDS[name] / per_fold, 1
                 ),
             }
+            _attach_mfu(detail[name], train, per_fold)
             # headline accounting stays one epoch per dataset (the
             # BASELINE.json derivation: one reference epoch each) — the
             # per-epoch cost in the default execution is one fold's
@@ -507,6 +540,7 @@ def main():
                 "edges_per_s": round(edges / best, 1),
                 "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
             }
+            _attach_mfu(detail[name], train, best)
             total_edges += edges
             total_time += best
         base_time += REFERENCE_EPOCH_SECONDS[name]
@@ -594,6 +628,7 @@ def main():
         "edges_per_s": round(dd_edges / best, 1),
         "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
     }
+    _attach_mfu(detail["DD_block"], dd_train, best)
     if full:
         # same engine under bf16 compute (fp32 params/loss) — the
         # documented --dtype bfloat16 option; pool traffic halves on the
@@ -648,6 +683,22 @@ def main():
             if "pct_of_mxu" in r:  # one-hot path: its roofline is the MXU
                 row["pct_of_mxu"] = round(r["pct_of_mxu"], 1)
             detail[f"spmm_{impl}{suffix}"] = row
+
+    # fold/step-batched SpMM (VERDICT r3 #3): the SAME block-pair kernel
+    # fed a 10-fold × 97-channel stacked feature axis — every built A
+    # block serves 970 lanes, amortizing the A-build bound the round-3
+    # anatomy measured. Record: tools/probe_spmm_foldbatch.py (54.6-57.0%
+    # of SoL over 3 trials on 2026-08-20).
+    r = spmm_microbench(num_nodes=1792, num_features=960,
+                        num_edges=7168, impl="pallas", reps=6,
+                        structure_kind="batch")
+    detail["spmm_foldbatch_f960"] = {
+        "us_per_op": round(r["us_per_op"], 1),
+        "achieved_gbps": round(r["achieved_gbps"], 2),
+        "pct_of_sol": round(r["pct_of_sol"], 2),
+        "routed": r["routed"],
+        **({"weak_signal": True} if r.get("weak_signal") else {}),
+    }
 
     value = total_edges / total_time
     baseline = total_edges / base_time  # derived GTX-1070 edges/s
