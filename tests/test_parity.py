@@ -4,6 +4,8 @@ documented GCNConv/SortAggregation algorithms transliterated into torch
 ops, reference model.py:26-45) on all 8 benchmark feature shapes,
 sort-tie semantics, round-trips, and dump/compare plumbing."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -335,3 +337,56 @@ def test_dropout_convention_matches_torch():
     want = torch.log_softmax(x, dim=-1).numpy()
 
     np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-6)
+
+
+def test_vendored_golden_pairs():
+    """Offline golden compare (VERDICT r3 #5): every `*_ours.npz` under
+    dgcnn_tpu/assets/golden/ must match its sibling dump
+    (`*_oracle.npz` = the transliterated torch oracle, vendored to pin
+    today's numbers against silent drift in init/packing/model code;
+    `*_pyg.npz` = a REAL PyTorch-Geometric dump generated on an egress
+    machine — the recipe is in README.md §"Golden parity artifacts").
+    Real-PyG pairs drop into the same folder and are picked up by this
+    same test, closing the PARITY.md transliteration caveat the moment
+    one is committed."""
+    import glob
+
+    from dgcnn_tpu.parity.harness import _load_acts
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "dgcnn_tpu", "assets", "golden",
+    )
+    pairs = []
+    for ours_path in sorted(glob.glob(os.path.join(root, "*_ours.npz"))):
+        stem = ours_path[: -len("_ours.npz")]
+        for kind in ("_pyg.npz", "_oracle.npz"):
+            if os.path.exists(stem + kind):
+                pairs.append((ours_path, stem + kind))
+    assert pairs, f"no vendored golden pairs under {root}"
+    for ours_path, ref_path in pairs:
+        compare_dumps(
+            _load_acts(ours_path), _load_acts(ref_path),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_vendored_golden_reproducible():
+    """The vendored JAX-side dump must be REGENERABLE by today's code —
+    if init/packing/forward change, this fails loudly (then the golden
+    pair is regenerated deliberately, never silently)."""
+    golden = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "dgcnn_tpu", "assets", "golden", "MUTAG_synthetic_s11_ours.npz",
+    )
+    from dgcnn_tpu.parity.harness import _load_acts
+
+    n = 6
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=n, seed=11)
+    model = DGCNN(num_features=gs.num_features, num_classes=gs.num_classes)
+    params = init_params(jax.random.PRNGKey(7), model)
+    ours = dump_activations(
+        params, model,
+        pack_batch(gs, np.arange(n), compute_bucket(gs, n)),
+    )
+    compare_dumps(ours, _load_acts(golden), rtol=1e-6, atol=1e-7)
