@@ -354,3 +354,57 @@ def test_onehot_auto_gate_boundary():
     want = np.asarray(spmm(src, dst, w, h, n, impl="xla"))
     got = np.asarray(spmm(src, dst, w, h, n, impl="auto"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sort_pool_folds_matches_vmapped_sort_pool():
+    """The fold-lockstep SortPooling (flat fold-offset ids + pure-gather
+    output enumeration) equals vmap(sort_pool) bitwise, forward and
+    grad — including ties, padding slots, empty groups and sub-k
+    graphs."""
+    import jax
+
+    from dgcnn_tpu.ops.sort_pool import sort_pool, sort_pool_folds
+
+    rng = np.random.default_rng(3)
+    F, S, C, slots, k = 5, 160, 6, 7, 4
+    x = jnp.asarray(rng.normal(size=(F, S, C)).astype(np.float32))
+    # quantized keys force ties; graph ids include the padding id == slots
+    x = x.at[..., -1].set(jnp.round(x[..., -1] * 2) / 2)
+    ng = jnp.asarray(rng.integers(0, slots + 1, (F, S)).astype(np.int32))
+
+    ref = jax.vmap(sort_pool, in_axes=(0, 0, None, None))(x, ng, slots, k)
+    out = sort_pool_folds(x, ng, slots, k)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    g_ref = jax.grad(
+        lambda x: (jax.vmap(sort_pool, in_axes=(0, 0, None, None))(
+            x, ng, slots, k) ** 2).sum()
+    )(x)
+    g_out = jax.grad(
+        lambda x: (sort_pool_folds(x, ng, slots, k) ** 2).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_out),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_sort_pool_dense_onehot_rows_exact():
+    """The one-hot-matmul row selection must reproduce gathered rows
+    EXACTLY (each output row is 1.0 x one input row, fp32-accumulated),
+    including the zero-padding of sub-k graphs."""
+    from dgcnn_tpu.ops.sort_pool import sort_pool_dense
+
+    rng = np.random.default_rng(5)
+    B, n, C, k = 6, 23, 5, 9
+    x = jnp.asarray(rng.normal(size=(B, n, C)).astype(np.float32))
+    counts = rng.integers(1, n + 1, B)
+    mask = jnp.asarray(
+        (np.arange(n)[None, :] < counts[:, None]).astype(np.float32)
+    )
+    pooled = np.asarray(sort_pool_dense(x, mask, k))
+    xh = np.asarray(x)
+    for b in range(B):
+        nb = int(counts[b])
+        order = np.argsort(-xh[b, :nb, -1], kind="stable")[:k]
+        want = xh[b][order]
+        np.testing.assert_array_equal(pooled[b, : len(order)], want)
+        np.testing.assert_array_equal(pooled[b, len(order):], 0.0)
