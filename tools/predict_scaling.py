@@ -39,20 +39,21 @@ import json
 import math
 
 # (dataset, measured ms/epoch single chip, graphs, max-graph nodes H)
-# epoch times: RESULTS.md release validation 2026-08-20 (round-3
-# defaults — chunked DD propagation etc.; synthetic profiles, chip
-# v5e); H: published dataset stats (largest graph's node count — the
-# halo width is a dataset constant, batching/shard_pack.py). Keep in
-# sync with the RESULTS.md table whenever it is re-measured.
+# epoch times: RESULTS.md release validation 2026-08-20/21 (round-4
+# defaults — one-hot SortPooling selection, fold-lockstep dense+block;
+# synthetic profiles, chip v5e); H: published dataset stats (largest
+# graph's node count — the halo width is a dataset constant,
+# batching/shard_pack.py). Keep in sync with the RESULTS.md table
+# whenever it is re-measured.
 ROWS = [
-    ("MUTAG", 0.4, 188, 28),
-    ("PTC_MR", 0.6, 344, 109),
-    ("NCI1", 6.4, 4110, 111),
-    ("PROTEINS", 3.1, 1113, 620),
-    ("DD", 34.7, 1178, 5748),
-    ("COLLAB", 18.8, 5000, 492),
-    ("IMDB-BINARY", 1.4, 1000, 136),
-    ("IMDB-MULTI", 2.7, 1500, 89),
+    ("MUTAG", 0.3, 188, 28),
+    ("PTC_MR", 0.4, 344, 109),
+    ("NCI1", 4.0, 4110, 111),
+    ("PROTEINS", 2.2, 1113, 620),
+    ("DD", 35.9, 1178, 5748),
+    ("COLLAB", 15.3, 5000, 492),
+    ("IMDB-BINARY", 1.0, 1000, 136),
+    ("IMDB-MULTI", 1.6, 1500, 89),
 ]
 
 LINK_BW = 45e9          # B/s one-way per ICI link (v5e)
