@@ -357,10 +357,10 @@ def run_cv_folds_vmap(
     events: EventLog,
     layout: str = "dense",
 ) -> Tuple[List[float], List[float]]:
-    """Run the whole K-fold experiment in fold-lockstep on the dense or
-    block-sparse layout, optionally fold-SHARDED over a (D, 1) mesh
-    (fold_shard_devices). Returns (train_accs, test_accs) and writes the
-    sequential driver's artifact set."""
+    """Run the whole K-fold experiment in fold-lockstep on the dense,
+    block-sparse or multi-tile layout, optionally fold-SHARDED over a
+    (D, 1) mesh (fold_shard_devices). Returns (train_accs, test_accs)
+    and writes the sequential driver's artifact set."""
     F = len(folds)
     slots = ((cfg.batch_size + cfg.graph_pad_multiple - 1)
              // cfg.graph_pad_multiple) * cfg.graph_pad_multiple
