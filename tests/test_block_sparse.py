@@ -270,3 +270,75 @@ def test_chunked_propagate_matches_unchunked():
         np.testing.assert_allclose(
             np.asarray(g_got), np.asarray(g_want), rtol=1e-5, atol=1e-6
         )
+
+
+def test_gather_block_batch_folds_matches_per_fold():
+    """The merged f-major stream must contain exactly each fold's
+    gather_block_batch items (same pool ids, rows/cols rebased by the
+    fold offsets), packed contiguously in fold order, and the node-side
+    arrays must equal the per-fold gathers."""
+    import jax
+
+    from dgcnn_tpu.batching.block_sparse import (
+        block_fold_extents,
+        gather_block_batch,
+        gather_block_batch_folds,
+        build_block_graphset,
+    )
+
+    gs = synthesize_tu_dataset("PROTEINS", num_graphs=30, seed=3)
+    dev = jax.device_put(build_block_graphset(gs))
+    rng = np.random.default_rng(0)
+    F, slots = 3, 8
+    idx = np.full((F, slots), -1, np.int32)
+    for f in range(F):
+        take = rng.integers(3, slots + 1)
+        idx[f, :take] = rng.choice(gs.num_graphs, take, replace=False)
+    nb_b, w_b = block_fold_extents(
+        dev.nb, dev.block_count, idx
+    )
+    nb_b, w_b = int(nb_b) + 8, F * (int(w_b) + 8)
+
+    fb = gather_block_batch_folds(dev, jnp.asarray(idx), nb_b, w_b)
+    sp1 = nb_b + 1
+    off = 0
+    for f in range(F):
+        b = gather_block_batch(dev, jnp.asarray(idx[f]), nb_b, w_b // F)
+        n_items = int(b.num_items)
+        sl = slice(off, off + n_items)
+        np.testing.assert_array_equal(
+            np.asarray(fb.item_pool[sl]), np.asarray(b.item_pool[:n_items])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fb.item_rowseg[sl]),
+            f * sp1 + np.asarray(b.item_row[:n_items]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fb.item_colsrc[sl]),
+            f * nb_b + np.asarray(b.item_col[:n_items]),
+        )
+        # the flat col-major traversal maps this fold's items onto the
+        # same in-fold permutation, shifted by the fold's stream offset
+        np.testing.assert_array_equal(
+            np.asarray(fb.item_permT[sl]),
+            off + np.asarray(b.item_permT[:n_items]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fb.item_colTseg[sl]),
+            f * sp1 + np.asarray(b.item_colT[:n_items]),
+        )
+        off += n_items
+        np.testing.assert_array_equal(
+            np.asarray(fb.x[f]), np.asarray(b.x)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fb.node_graph[f]), np.asarray(b.node_graph)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fb.y[f]), np.asarray(b.y)
+        )
+    assert int(fb.num_items) == off
+    # padded tail: sentinel pool (zero block), dropped segment ids
+    tail = np.asarray(fb.item_pool[off:])
+    assert (tail == dev.pool.shape[0] - 1).all()
+    assert (np.asarray(fb.item_rowseg[off:]) == F * sp1).all()
