@@ -101,6 +101,12 @@ def get_args(argv=None):
                              "einsum + sorted segment-sum; pallas = fused "
                              "CSR-style kernel (kernels/block_pallas.py); "
                              "same math, equality pinned to 1e-6 in tests")
+    parser.add_argument("--dense_trunk", default="auto",
+                        choices=["auto", "xla", "fused"],
+                        help="dense-layout GCN trunk: xla = einsum chain; "
+                             "fused = VMEM-resident Pallas kernel (one "
+                             "adjacency read per direction instead of four "
+                             "— kernels/dense_trunk.py; TPU+fp32 only)")
     parser.add_argument("--multi_min_tile", type=int, default=256,
                         help="smallest tile of the multi-tile dense "
                              "geometric ladder (--layout multi; "
@@ -194,6 +200,7 @@ def main(argv=None):
         compute_dtype=opt.dtype,
         adj_dtype=opt.adj_dtype,
         block_impl=opt.block_impl,
+        dense_trunk=opt.dense_trunk,
         multi_dense_min_tile=opt.multi_min_tile,
         learning_rate=opt.lr,
         sort_pool_k=opt.sortpool_k,

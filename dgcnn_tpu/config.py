@@ -128,6 +128,12 @@ class Config:
     # segment-sum tree, so equality is pinned to 1e-6 (not bitwise) in
     # tests/test_block_pallas.py.
     block_impl: str = "auto"
+    # Dense-layout GCN trunk: "xla" einsum chain vs "fused" VMEM-resident
+    # Pallas kernel (kernels/dense_trunk.py — one adjacency read per
+    # direction instead of four). "auto" resolves per measurement
+    # (resolved_dense_trunk). TPU + fp32-compute only; other
+    # configurations fall back to the einsum chain inside the model.
+    dense_trunk: str = "auto"
     # Cross-validation execution: "folds" trains all K folds in LOCKSTEP
     # via vmap over a fold axis (near-K× throughput on small datasets —
     # per-fold protocol and metrics are unchanged, see train/cv_vmap.py);
@@ -201,6 +207,15 @@ class Config:
             return self.block_impl
         return "xla"
 
+    def resolved_dense_trunk(self) -> str:
+        """Concrete dense-trunk impl. "auto" → "xla" until the on-chip
+        A/B (bench.py --full dense-trunk rows) flips it; the fused
+        kernel's own gates (TPU backend, fp32 compute) apply inside the
+        model either way."""
+        if self.dense_trunk != "auto":
+            return self.dense_trunk
+        return "xla"
+
     def resolved_adj_dtype(self) -> str:
         """Concrete adjacency storage dtype ("auto" → backend-dependent:
         bfloat16 where the MXU's DEFAULT-precision operand rounding makes
@@ -248,6 +263,8 @@ class Config:
             )
         if self.cv_parallel not in ("auto", "folds", "sequential"):
             raise ValueError(f"unknown cv_parallel {self.cv_parallel!r}")
+        if self.dense_trunk not in ("auto", "xla", "fused"):
+            raise ValueError(f"unknown dense_trunk {self.dense_trunk!r}")
         if self.sort_pool_percentile is not None and not (
             0.0 < self.sort_pool_percentile <= 1.0
         ):

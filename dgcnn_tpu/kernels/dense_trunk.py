@@ -1,0 +1,285 @@
+"""Fused dense GCN trunk — one Pallas kernel for the adjacency-coupled
+core of all four GCN layers.
+
+The dense layouts run the trunk as eight separate XLA einsums per step
+(4 layers × fwd/bwd), each re-reading the gathered [S, T, T] adjacency
+from HBM; at COLLAB scale that stream IS the step (~122 µs measured ≈
+the SoL time of those bytes — RESULTS.md round-4 notes). One slot's
+adjacency tile (256²·bf16 = 128 KB) fits VMEM with room to spare, so
+this kernel grids over slots and keeps the tile RESIDENT across all
+four layers: adjacency reads drop 4× per direction.
+
+Decomposition: the first layer's feature matmul (x @ W1) and its
+cotangents stay OUTSIDE in XLA (x can be 1..90 features wide — lane
+padding it through the kernel would cost more than it saves, and JAX
+autodiff handles d_W1/d_x through the einsum once d_hw1 flows out of
+the custom VJP). The kernel consumes hw1 = x @ W1 and owns everything
+the adjacency touches:
+
+    h_1 = tanh(adj @ hw1 + b_1) · mask
+    h_i = tanh(adj @ (h_{i-1} @ W_i) + b_i) · mask        i = 2..L
+    cat = [h_1 ‖ … ‖ h_L]                  (lane-padded to 128)
+
+The backward re-walks the chain with the SAME resident tile, using the
+GCN adjacency's symmetry (D̂^{-1/2}(A+I)D̂^{-1/2} of an undirected graph
+⇒ adjᵀ = adj); per-slot weight/bias partials are segment-summed by
+weight-set id outside (fold-lockstep passes per-slot weight ids via
+scalar prefetch; single-weight callers pass zeros).
+
+Numerics match models.dgcnn._dense_trunk: same dot chain, fp32
+accumulation, bf16 adjacency operands when the tile is stored bf16.
+Equality pinned in tests/test_dense_trunk.py (interpret mode, CPU).
+
+Capability parity: the GCNConv stack of reference model.py:30-33.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _offsets(dims):
+    return np.concatenate([[0], np.cumsum(dims)]).astype(int)
+
+
+def _make_fwd_kernel(dims):
+    n_layers = len(dims)
+
+    def kernel(wsel_ref, adj_ref, hw1_ref, mask_ref, *rest):
+        ws = rest[: n_layers - 1]          # W2..WL, each [K, d_{i-1}, d_i]
+        bs = rest[n_layers - 1 : 2 * n_layers - 1]  # b1..bL, each [K, 1, d]
+        out_ref = rest[2 * n_layers - 1]
+        k = wsel_ref[pl.program_id(0)]
+        adj = adj_ref[0]
+        mask = mask_ref[0][:, :1]
+        hw = hw1_ref[0][:, : dims[0]].astype(jnp.float32)
+        hs = []
+        for i in range(n_layers):
+            agg = jnp.dot(
+                adj, hw.astype(adj.dtype), preferred_element_type=jnp.float32
+            )
+            h = jnp.tanh(agg + bs[i][k][0]) * mask
+            hs.append(h)
+            if i + 1 < n_layers:
+                hw = jnp.dot(
+                    h, ws[i][k], preferred_element_type=jnp.float32
+                )
+        cat = jnp.concatenate(hs, axis=1)
+        pad = out_ref.shape[2] - cat.shape[1]
+        if pad:
+            cat = jnp.concatenate(
+                [cat, jnp.zeros((cat.shape[0], pad), cat.dtype)], axis=1
+            )
+        out_ref[0] = cat.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_bwd_kernel(dims):
+    n_layers = len(dims)
+    offs = _offsets(dims)
+
+    def kernel(wsel_ref, adj_ref, mask_ref, cat_ref, g_ref, *rest):
+        ws = rest[: n_layers - 1]
+        dhw1_ref = rest[n_layers - 1]
+        dw_refs = rest[n_layers : 2 * n_layers - 1]
+        db_refs = rest[2 * n_layers - 1 :]
+        k = wsel_ref[pl.program_id(0)]
+        adj = adj_ref[0]
+        mask = mask_ref[0][:, :1]
+        cat = cat_ref[0].astype(jnp.float32)
+        g = g_ref[0].astype(jnp.float32)
+
+        d_chain = jnp.zeros((cat.shape[0], dims[-1]), jnp.float32)
+        for i in range(n_layers - 1, -1, -1):
+            h_i = cat[:, offs[i] : offs[i + 1]]
+            d_hi = (g[:, offs[i] : offs[i + 1]] + d_chain) * mask
+            d_pre = d_hi * (1.0 - h_i * h_i)
+            # adjᵀ = adj: symmetric normalized adjacency
+            d_hw = jnp.dot(
+                adj, d_pre.astype(adj.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if i > 0:
+                h_prev = cat[:, offs[i - 1] : offs[i]]
+                dw_refs[i - 1][0] = jax.lax.dot_general(
+                    h_prev, d_hw, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                d_chain = jax.lax.dot_general(
+                    d_hw, ws[i - 1][k].astype(jnp.float32),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                pad = dhw1_ref.shape[2] - d_hw.shape[1]
+                if pad:
+                    d_hw = jnp.concatenate(
+                        [d_hw, jnp.zeros((d_hw.shape[0], pad), d_hw.dtype)],
+                        axis=1,
+                    )
+                dhw1_ref[0] = d_hw.astype(dhw1_ref.dtype)
+            db_refs[i][0, 0] = jnp.sum(d_pre, axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def gcn_trunk_fused(dims, interpret, adj, hw1, mask, wsel, ws, bs):
+    """cat [S, T, Σdims] — see module docstring.
+
+    dims   static hidden widths, e.g. (32, 32, 32, 1)
+    adj    [S, T, T] symmetric normalized adjacency (fp32 or bf16)
+    hw1    [S, T, d1] = x @ W1 (computed outside; d1 may be lane-padded,
+           extra columns ignored)
+    mask   [S, T] node mask
+    wsel   [S] int32 weight-set id (zeros when K == 1)
+    ws     tuple of L−1 arrays [K, d_{i-1}, d_i] (W2..WL)
+    bs     tuple of L arrays [K, d_i]
+    """
+    return _forward(dims, interpret, adj, hw1, mask, wsel, ws, bs)
+
+
+def _prep(mask):
+    s, t = mask.shape
+    m = jnp.zeros((s, t, _LANES), mask.dtype)
+    return m.at[:, :, 0].set(mask)
+
+
+def _forward(dims, interpret, adj, hw1, mask, wsel, ws, bs):
+    s, t, _ = adj.shape
+    cdim = int(sum(dims))
+    cpad = _round_up(cdim, _LANES)
+    maskp = _prep(mask)
+    bs2 = tuple(b[:, None, :] for b in bs)
+    n_layers = len(dims)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec((1, t, t), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, hw1.shape[2]), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, _LANES), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_layers - 1),
+        out_specs=pl.BlockSpec((1, t, cpad), lambda i, w: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _make_fwd_kernel(tuple(dims)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, t, cpad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s * t * t * cdim,
+            bytes_accessed=adj.size * adj.dtype.itemsize
+            + hw1.size * 4 + s * t * cpad * 4,
+            transcendentals=s * t * cdim,
+        ),
+    )(wsel, adj, hw1, maskp, *ws, *bs2)
+    return out[:, :, :cdim]
+
+
+def _vjp_fwd(dims, interpret, adj, hw1, mask, wsel, ws, bs):
+    cat = _forward(dims, interpret, adj, hw1, mask, wsel, ws, bs)
+    return cat, (adj, hw1, mask, wsel, ws, bs, cat)
+
+
+def _vjp_bwd(dims, interpret, res, g):
+    adj, hw1, mask, wsel, ws, bs, cat = res
+    s, t, _ = adj.shape
+    cdim = int(sum(dims))
+    cpad = _round_up(cdim, _LANES)
+    maskp = _prep(mask)
+    catp = jnp.pad(cat, ((0, 0), (0, 0), (0, cpad - cdim)))
+    gp = jnp.pad(
+        g.astype(jnp.float32), ((0, 0), (0, 0), (0, cpad - cdim))
+    )
+    n_layers = len(dims)
+    d1pad = hw1.shape[2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec((1, t, t), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, _LANES), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, cpad), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, cpad), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_layers - 1),
+        out_specs=[
+            pl.BlockSpec((1, t, d1pad), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [
+            pl.BlockSpec((1, int(din), int(dout)),
+                         lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for din, dout in zip(dims[:-1], dims[1:])
+        ]
+        + [
+            pl.BlockSpec((1, 1, int(d)), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for d in dims
+        ],
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct((s, t, d1pad), jnp.float32)]
+        + [
+            jax.ShapeDtypeStruct((s, int(din), int(dout)), jnp.float32)
+            for din, dout in zip(dims[:-1], dims[1:])
+        ]
+        + [jax.ShapeDtypeStruct((s, 1, int(d)), jnp.float32) for d in dims]
+    )
+    outs = pl.pallas_call(
+        _make_bwd_kernel(tuple(dims)),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(wsel, adj, maskp, catp, gp, *ws)
+    d_hw1 = outs[0]
+    dws_slot = outs[1:n_layers]
+    dbs_slot = outs[n_layers:]
+
+    k = ws[0].shape[0] if ws else bs[0].shape[0]
+    dws = tuple(
+        jax.ops.segment_sum(dw, wsel, num_segments=k).astype(w.dtype)
+        for dw, w in zip(dws_slot, ws)
+    )
+    dbs = tuple(
+        jax.ops.segment_sum(db[:, 0], wsel, num_segments=k).astype(b.dtype)
+        for db, b in zip(dbs_slot, bs)
+    )
+    f0 = jax.dtypes.float0
+    return (
+        jnp.zeros_like(adj),        # adjacency is data (normalization baked)
+        d_hw1.astype(hw1.dtype),
+        jnp.zeros_like(mask),
+        np.zeros(wsel.shape, dtype=f0),
+        dws,
+        dbs,
+    )
+
+
+gcn_trunk_fused.defvjp(_vjp_fwd, _vjp_bwd)

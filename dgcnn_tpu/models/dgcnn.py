@@ -55,6 +55,12 @@ class DGCNN:
     # accumulation (MXU-native bf16 mode); params, biases, softmax and the
     # loss stay fp32. "float32" = exact reference numerics.
     compute_dtype: str = "float32"
+    # Dense-layout GCN trunk implementation: "xla" = the einsum chain
+    # (8 adjacency reads per step across fwd+bwd); "fused" = the Pallas
+    # kernel that keeps each slot's adjacency tile VMEM-resident across
+    # all four layers (kernels/dense_trunk.py — 1 read per direction).
+    # TPU-only; non-TPU backends and bf16 compute fall back to "xla".
+    dense_trunk: str = "xla"
 
     @property
     def concat_dim(self) -> int:
@@ -258,6 +264,12 @@ def _dense_trunk(
     """GCN stack + SortPooling on one dense-layout batch → pooled
     [num_graph_slots, k, C]. Shared by the single-tile and multi-tile
     dense paths."""
+    if (
+        model.dense_trunk == "fused"
+        and model.compute_dtype == "float32"
+        and jax.default_backend() in ("tpu", "axon")
+    ):
+        return _dense_trunk_fused_path(params, model, batch, acts, tag)
     dt = jnp.dtype(model.compute_dtype)
     h = batch.x.astype(dt)
     # Propagation dtype: never UPcast a bf16-stored adjacency
@@ -290,6 +302,40 @@ def _dense_trunk(
         acts[f"gcn{i + 1}{tag}"] = h
 
     cat = jnp.concatenate(layer_outs, axis=-1)
+    pooled = sort_pool_dense(cat, batch.node_mask, model.sort_pool_k)
+    acts[f"sort_pool{tag}"] = pooled
+    return pooled
+
+
+def _dense_trunk_fused_path(
+    params: Params, model: DGCNN, batch: DenseGraphBatch, acts: dict,
+    tag: str = "",
+) -> jax.Array:
+    """`_dense_trunk` through the VMEM-resident Pallas kernel
+    (kernels/dense_trunk.py): x@W1 and its cotangents stay in XLA, the
+    adjacency-coupled chain runs fused. fp32-compute only (gated by the
+    caller); the adjacency streams at its storage dtype like the einsum
+    path."""
+    from dgcnn_tpu.kernels.dense_trunk import gcn_trunk_fused
+
+    prop_dt = (
+        jnp.bfloat16 if batch.adj.dtype == jnp.bfloat16 else jnp.float32
+    )
+    hw1 = jnp.einsum(
+        "bnf,fo->bno", batch.x.astype(jnp.float32),
+        params["gcn"][0]["w"], preferred_element_type=jnp.float32,
+    )
+    wsel = jnp.zeros((batch.adj.shape[0],), jnp.int32)
+    ws = tuple(l["w"][None] for l in params["gcn"][1:])
+    bs = tuple(l["b"][None] for l in params["gcn"])
+    cat = gcn_trunk_fused(
+        tuple(model.hidden_dims), False, batch.adj.astype(prop_dt),
+        hw1, batch.node_mask, wsel, ws, bs,
+    )
+    off = 0
+    for i, d in enumerate(model.hidden_dims):
+        acts[f"gcn{i + 1}{tag}"] = cat[:, :, off : off + d]
+        off += d
     pooled = sort_pool_dense(cat, batch.node_mask, model.sort_pool_k)
     acts[f"sort_pool{tag}"] = pooled
     return pooled

@@ -87,6 +87,7 @@ def _model_from_config(
         dense_dim=cfg.dense_dim,
         dropout_rate=cfg.dropout_rate,
         compute_dtype=cfg.compute_dtype,
+        dense_trunk=cfg.resolved_dense_trunk(),
     )
 
 
