@@ -78,7 +78,7 @@ def _resolve_adj(adj_dtype):
 
 
 def _bench_dense(train, epochs_per_dispatch=25, dtype="float32",
-                 adj_dtype="auto"):
+                 adj_dtype="auto", dense_trunk="xla"):
     """Time the framework dense path: device-resident dense dataset with
     on-device batch gather and FUSED multi-epoch dispatch (train/cv.py
     DenseEngine.run_epochs) — `epochs_per_dispatch` full training epochs
@@ -103,6 +103,7 @@ def _bench_dense(train, epochs_per_dispatch=25, dtype="float32",
         num_features=train.num_features,
         num_classes=train.num_classes,
         compute_dtype=dtype,
+        dense_trunk=dense_trunk,
     )
     params = init_params(jax.random.PRNGKey(324), model)
     optimizer = optax.adam(1e-3)
@@ -133,7 +134,8 @@ def _bench_dense(train, epochs_per_dispatch=25, dtype="float32",
 
 
 def _bench_multi(train, epochs_per_dispatch=25, dtype="float32",
-                 adj_dtype="auto", min_tile=256, batch_size=50):
+                 adj_dtype="auto", min_tile=256, batch_size=50,
+                 dense_trunk="xla"):
     """Time the size-bucketed multi-tile dense path (train/cv.py
     MultiDenseEngine) — the framework-default layout for datasets whose
     single dense tile is dominated by padding waste and whose 10-fold
@@ -159,6 +161,7 @@ def _bench_multi(train, epochs_per_dispatch=25, dtype="float32",
         num_features=train.num_features,
         num_classes=train.num_classes,
         compute_dtype=dtype,
+        dense_trunk=dense_trunk,
     )
     params = init_params(jax.random.PRNGKey(324), model)
     optimizer = optax.adam(1e-3)
