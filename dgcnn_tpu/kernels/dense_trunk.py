@@ -44,50 +44,82 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
+# slots per grid step: G independent slot chains interleave their MXU
+# dots (one-slot steps measured 2.7× slower than XLA's batched einsums
+# on COLLAB — the serial agg→tanh→hw chain drains the MXU between
+# small dots). VMEM: G·(tile + activations) must fit; G=4 at T=256 is
+# ~0.6 MB of tiles.
+_G = 4
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_slots(a: jax.Array, s_pad: int) -> jax.Array:
+    pad = s_pad - a.shape[0]
+    if pad == 0:
+        return a
+    widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, widths)
+
+
 def _offsets(dims):
     return np.concatenate([[0], np.cumsum(dims)]).astype(int)
 
 
-def _make_fwd_kernel(dims):
+def _make_fwd_kernel(dims, g_slots):
     n_layers = len(dims)
 
     def kernel(wsel_ref, adj_ref, hw1_ref, mask_ref, *rest):
         ws = rest[: n_layers - 1]          # W2..WL, each [K, d_{i-1}, d_i]
         bs = rest[n_layers - 1 : 2 * n_layers - 1]  # b1..bL, each [K, 1, d]
         out_ref = rest[2 * n_layers - 1]
-        k = wsel_ref[pl.program_id(0)]
-        adj = adj_ref[0]
-        mask = mask_ref[0][:, :1]
-        hw = hw1_ref[0][:, : dims[0]].astype(jnp.float32)
-        hs = []
+        base = pl.program_id(0) * g_slots
+        # G independent slot chains interleaved per grid step: each
+        # layer issues G independent MXU dots back-to-back (the serial
+        # per-slot agg→tanh→hw chain otherwise leaves the MXU draining
+        # between small dots — one-slot steps measured 2.7× slower than
+        # XLA's batched einsums on COLLAB, 2026-08-21)
+        ks = [wsel_ref[base + g] for g in range(g_slots)]
+        hw = [
+            hw1_ref[g][:, : dims[0]].astype(jnp.float32)
+            for g in range(g_slots)
+        ]
+        hs = [[None] * g_slots for _ in range(n_layers)]
         for i in range(n_layers):
-            agg = jnp.dot(
-                adj, hw.astype(adj.dtype), preferred_element_type=jnp.float32
-            )
-            h = jnp.tanh(agg + bs[i][k][0]) * mask
-            hs.append(h)
-            if i + 1 < n_layers:
-                hw = jnp.dot(
-                    h, ws[i][k], preferred_element_type=jnp.float32
+            aggs = [
+                jnp.dot(
+                    adj_ref[g], hw[g].astype(adj_ref.dtype),
+                    preferred_element_type=jnp.float32,
                 )
-        cat = jnp.concatenate(hs, axis=1)
-        pad = out_ref.shape[2] - cat.shape[1]
-        if pad:
-            cat = jnp.concatenate(
-                [cat, jnp.zeros((cat.shape[0], pad), cat.dtype)], axis=1
-            )
-        out_ref[0] = cat.astype(out_ref.dtype)
+                for g in range(g_slots)
+            ]
+            for g in range(g_slots):
+                hs[i][g] = jnp.tanh(
+                    aggs[g] + bs[i][ks[g]][0]
+                ) * mask_ref[g][:, :1]
+            if i + 1 < n_layers:
+                hw = [
+                    jnp.dot(
+                        hs[i][g], ws[i][ks[g]],
+                        preferred_element_type=jnp.float32,
+                    )
+                    for g in range(g_slots)
+                ]
+        for g in range(g_slots):
+            cat = jnp.concatenate([hs[i][g] for i in range(n_layers)], axis=1)
+            pad = out_ref.shape[2] - cat.shape[1]
+            if pad:
+                cat = jnp.concatenate(
+                    [cat, jnp.zeros((cat.shape[0], pad), cat.dtype)], axis=1
+                )
+            out_ref[g] = cat.astype(out_ref.dtype)
 
     return kernel
 
 
-def _make_bwd_kernel(dims):
+def _make_bwd_kernel(dims, g_slots):
     n_layers = len(dims)
     offs = _offsets(dims)
 
@@ -96,42 +128,54 @@ def _make_bwd_kernel(dims):
         dhw1_ref = rest[n_layers - 1]
         dw_refs = rest[n_layers : 2 * n_layers - 1]
         db_refs = rest[2 * n_layers - 1 :]
-        k = wsel_ref[pl.program_id(0)]
-        adj = adj_ref[0]
-        mask = mask_ref[0][:, :1]
-        cat = cat_ref[0].astype(jnp.float32)
-        g = g_ref[0].astype(jnp.float32)
+        base = pl.program_id(0) * g_slots
+        ks = [wsel_ref[base + g] for g in range(g_slots)]
+        cats = [cat_ref[g].astype(jnp.float32) for g in range(g_slots)]
+        gs = [g_ref[g].astype(jnp.float32) for g in range(g_slots)]
 
-        d_chain = jnp.zeros((cat.shape[0], dims[-1]), jnp.float32)
+        d_chain = [
+            jnp.zeros((cats[0].shape[0], dims[-1]), jnp.float32)
+            for _ in range(g_slots)
+        ]
         for i in range(n_layers - 1, -1, -1):
-            h_i = cat[:, offs[i] : offs[i + 1]]
-            d_hi = (g[:, offs[i] : offs[i + 1]] + d_chain) * mask
-            d_pre = d_hi * (1.0 - h_i * h_i)
-            # adjᵀ = adj: symmetric normalized adjacency
-            d_hw = jnp.dot(
-                adj, d_pre.astype(adj.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            if i > 0:
-                h_prev = cat[:, offs[i - 1] : offs[i]]
-                dw_refs[i - 1][0] = jax.lax.dot_general(
-                    h_prev, d_hw, (((0,), (0,)), ((), ())),
+            d_pre = [None] * g_slots
+            for g in range(g_slots):
+                h_i = cats[g][:, offs[i] : offs[i + 1]]
+                d_hi = (
+                    gs[g][:, offs[i] : offs[i + 1]] + d_chain[g]
+                ) * mask_ref[g][:, :1]
+                d_pre[g] = d_hi * (1.0 - h_i * h_i)
+            # adjᵀ = adj: symmetric normalized adjacency; G independent
+            # dots issue back-to-back
+            d_hw = [
+                jnp.dot(
+                    adj_ref[g], d_pre[g].astype(adj_ref.dtype),
                     preferred_element_type=jnp.float32,
                 )
-                d_chain = jax.lax.dot_general(
-                    d_hw, ws[i - 1][k].astype(jnp.float32),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                pad = dhw1_ref.shape[2] - d_hw.shape[1]
-                if pad:
-                    d_hw = jnp.concatenate(
-                        [d_hw, jnp.zeros((d_hw.shape[0], pad), d_hw.dtype)],
-                        axis=1,
+                for g in range(g_slots)
+            ]
+            for g in range(g_slots):
+                if i > 0:
+                    h_prev = cats[g][:, offs[i - 1] : offs[i]]
+                    dw_refs[i - 1][g] = jax.lax.dot_general(
+                        h_prev, d_hw[g], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
                     )
-                dhw1_ref[0] = d_hw.astype(dhw1_ref.dtype)
-            db_refs[i][0, 0] = jnp.sum(d_pre, axis=0)
+                    d_chain[g] = jax.lax.dot_general(
+                        d_hw[g], ws[i - 1][ks[g]].astype(jnp.float32),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    d1 = d_hw[g]
+                    pad = dhw1_ref.shape[2] - d1.shape[1]
+                    if pad:
+                        d1 = jnp.concatenate(
+                            [d1, jnp.zeros((d1.shape[0], pad), d1.dtype)],
+                            axis=1,
+                        )
+                    dhw1_ref[g] = d1.astype(dhw1_ref.dtype)
+                db_refs[i][g, 0] = jnp.sum(d_pre[g], axis=0)
 
     return kernel
 
@@ -160,31 +204,35 @@ def _prep(mask):
 
 def _forward(dims, interpret, adj, hw1, mask, wsel, ws, bs):
     s, t, _ = adj.shape
+    s_pad = _round_up(s, _G)
     cdim = int(sum(dims))
     cpad = _round_up(cdim, _LANES)
-    maskp = _prep(mask)
+    adjp = _pad_slots(adj, s_pad)
+    hw1p = _pad_slots(hw1, s_pad)
+    maskp = _pad_slots(_prep(mask), s_pad)
+    wselp = _pad_slots(wsel, s_pad)
     bs2 = tuple(b[:, None, :] for b in bs)
     n_layers = len(dims)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(s,),
+        grid=(s_pad // _G,),
         in_specs=[
-            pl.BlockSpec((1, t, t), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((_G, t, t), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, hw1.shape[2]), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((_G, t, hw1.shape[2]), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, _LANES), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((_G, t, _LANES), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_layers - 1),
-        out_specs=pl.BlockSpec((1, t, cpad), lambda i, w: (i, 0, 0),
+        out_specs=pl.BlockSpec((_G, t, cpad), lambda i, w: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _make_fwd_kernel(tuple(dims)),
+        _make_fwd_kernel(tuple(dims), _G),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((s, t, cpad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((s_pad, t, cpad), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * s * t * t * cdim,
@@ -192,8 +240,8 @@ def _forward(dims, interpret, adj, hw1, mask, wsel, ws, bs):
             + hw1.size * 4 + s * t * cpad * 4,
             transcendentals=s * t * cdim,
         ),
-    )(wsel, adj, hw1, maskp, *ws, *bs2)
-    return out[:, :, :cdim]
+    )(wselp, adjp, hw1p, maskp, *ws, *bs2)
+    return out[:s, :, :cdim]
 
 
 def _vjp_fwd(dims, interpret, adj, hw1, mask, wsel, ws, bs):
@@ -204,63 +252,70 @@ def _vjp_fwd(dims, interpret, adj, hw1, mask, wsel, ws, bs):
 def _vjp_bwd(dims, interpret, res, g):
     adj, hw1, mask, wsel, ws, bs, cat = res
     s, t, _ = adj.shape
+    s_pad = _round_up(s, _G)
     cdim = int(sum(dims))
     cpad = _round_up(cdim, _LANES)
-    maskp = _prep(mask)
-    catp = jnp.pad(cat, ((0, 0), (0, 0), (0, cpad - cdim)))
-    gp = jnp.pad(
-        g.astype(jnp.float32), ((0, 0), (0, 0), (0, cpad - cdim))
+    adjp = _pad_slots(adj, s_pad)
+    maskp = _pad_slots(_prep(mask), s_pad)
+    wselp = _pad_slots(wsel, s_pad)
+    catp = _pad_slots(
+        jnp.pad(cat, ((0, 0), (0, 0), (0, cpad - cdim))), s_pad
+    )
+    gp = _pad_slots(
+        jnp.pad(g.astype(jnp.float32), ((0, 0), (0, 0), (0, cpad - cdim))),
+        s_pad,
     )
     n_layers = len(dims)
     d1pad = hw1.shape[2]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(s,),
+        grid=(s_pad // _G,),
         in_specs=[
-            pl.BlockSpec((1, t, t), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((_G, t, t), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, _LANES), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((_G, t, _LANES), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, cpad), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((_G, t, cpad), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, cpad), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((_G, t, cpad), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_layers - 1),
         out_specs=[
-            pl.BlockSpec((1, t, d1pad), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((_G, t, d1pad), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         + [
-            pl.BlockSpec((1, int(din), int(dout)),
+            pl.BlockSpec((_G, int(din), int(dout)),
                          lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for din, dout in zip(dims[:-1], dims[1:])
         ]
         + [
-            pl.BlockSpec((1, 1, int(d)), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((_G, 1, int(d)), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for d in dims
         ],
     )
     out_shapes = (
-        [jax.ShapeDtypeStruct((s, t, d1pad), jnp.float32)]
+        [jax.ShapeDtypeStruct((s_pad, t, d1pad), jnp.float32)]
         + [
-            jax.ShapeDtypeStruct((s, int(din), int(dout)), jnp.float32)
+            jax.ShapeDtypeStruct((s_pad, int(din), int(dout)), jnp.float32)
             for din, dout in zip(dims[:-1], dims[1:])
         ]
-        + [jax.ShapeDtypeStruct((s, 1, int(d)), jnp.float32) for d in dims]
+        + [jax.ShapeDtypeStruct((s_pad, 1, int(d)), jnp.float32)
+           for d in dims]
     )
     outs = pl.pallas_call(
-        _make_bwd_kernel(tuple(dims)),
+        _make_bwd_kernel(tuple(dims), _G),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(wsel, adj, maskp, catp, gp, *ws)
-    d_hw1 = outs[0]
-    dws_slot = outs[1:n_layers]
-    dbs_slot = outs[n_layers:]
+    )(wselp, adjp, maskp, catp, gp, *ws)
+    d_hw1 = outs[0][:s]
+    dws_slot = [o[:s] for o in outs[1:n_layers]]
+    dbs_slot = [o[:s] for o in outs[n_layers:]]
 
     k = ws[0].shape[0] if ws else bs[0].shape[0]
     dws = tuple(
