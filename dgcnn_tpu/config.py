@@ -208,10 +208,16 @@ class Config:
         return "xla"
 
     def resolved_dense_trunk(self) -> str:
-        """Concrete dense-trunk impl. "auto" → "xla" until the on-chip
-        A/B (bench.py --full dense-trunk rows) flips it; the fused
-        kernel's own gates (TPU backend, fp32 compute) apply inside the
-        model either way."""
+        """Concrete dense-trunk impl. "auto" → "xla": the 2026-08-21
+        on-chip A/B (tools/probe_dense_trunk.py, full fused-epoch step
+        context) measured the VMEM-resident Pallas trunk LOSING ~2× on
+        both dense-layout defaults — COLLAB multi 23.61 vs 11.95 ms,
+        NCI1 single-fold dense 10.07 vs 4.97 ms — despite its 4×
+        adjacency-read reduction (plausibly the custom-VJP fusion
+        boundary around the trunk; not root-caused). The kernel stays
+        available (--dense_trunk fused) and
+        interpret-mode-exact; the fused kernel's own gates (TPU backend,
+        fp32 compute) apply inside the model either way."""
         if self.dense_trunk != "auto":
             return self.dense_trunk
         return "xla"

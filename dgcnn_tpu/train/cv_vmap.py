@@ -163,6 +163,15 @@ def make_dense_vmap_run(
     [F·slots] single-gather rewrite measured 88.8 vs 54.3 ms per NCI1
     train-only lockstep epoch (2026-08-20 on-chip A/B) and was
     reverted."""
+    if model.dense_trunk == "fused":
+        # the fused trunk (kernels/dense_trunk.py) grids over the slot
+        # axis of ONE batch; this runner vmaps the whole apply over the
+        # fold axis, which would batch the pallas_call's grid. Not a
+        # supported/profitable form — the lockstep program stays on the
+        # einsum chain regardless of --dense_trunk.
+        import dataclasses as _dc
+
+        model = _dc.replace(model, dense_trunk="xla")
 
     def fold_train_loss(params, data, idx_row, dropout_key):
         batch = gather_dense_batch(data, idx_row)
