@@ -152,6 +152,19 @@ def _make_lockstep_body(
     return run
 
 
+def _force_xla_trunk(model: DGCNN) -> DGCNN:
+    """Lockstep runners vmap the whole apply over the fold axis, which
+    would batch the fused trunk's pallas grid (kernels/dense_trunk.py
+    grids over the slot axis of ONE batch) — not a supported/profitable
+    form, so the lockstep program stays on the einsum chain regardless
+    of --dense_trunk (2026-08-21 A/B record: Config.resolved_dense_trunk)."""
+    if model.dense_trunk == "fused":
+        import dataclasses as _dc
+
+        model = _dc.replace(model, dense_trunk="xla")
+    return model
+
+
 def make_dense_vmap_run(
     model: DGCNN, optimizer: optax.GradientTransformation
 ) -> Callable:
@@ -163,15 +176,7 @@ def make_dense_vmap_run(
     [F·slots] single-gather rewrite measured 88.8 vs 54.3 ms per NCI1
     train-only lockstep epoch (2026-08-20 on-chip A/B) and was
     reverted."""
-    if model.dense_trunk == "fused":
-        # the fused trunk (kernels/dense_trunk.py) grids over the slot
-        # axis of ONE batch; this runner vmaps the whole apply over the
-        # fold axis, which would batch the pallas_call's grid. Not a
-        # supported/profitable form — the lockstep program stays on the
-        # einsum chain regardless of --dense_trunk.
-        import dataclasses as _dc
-
-        model = _dc.replace(model, dense_trunk="xla")
+    model = _force_xla_trunk(model)
 
     def fold_train_loss(params, data, idx_row, dropout_key):
         batch = gather_dense_batch(data, idx_row)

@@ -105,3 +105,33 @@ def test_model_trunk_fused_matches_xla_path():
     lp_x = apply_dense(params, m_x, b)
     lp_f = apply_dense(params, m_f, b)  # CPU → falls back to xla
     np.testing.assert_array_equal(np.asarray(lp_x), np.asarray(lp_f))
+
+
+def test_lockstep_runner_forces_xla_trunk():
+    """make_dense_vmap_run must not route the fused trunk: it vmaps the
+    whole apply over the fold axis, which would batch the pallas grid
+    (unsupported form — the 2026-08-21 on-chip A/B record in
+    Config.resolved_dense_trunk). The guard is cv_vmap._force_xla_trunk;
+    pin both the helper's semantics and that the runner applies it."""
+    import optax
+
+    from dgcnn_tpu.models.dgcnn import DGCNN
+    from dgcnn_tpu.train import cv_vmap
+
+    model = DGCNN(num_features=4, num_classes=2, dense_trunk="fused")
+    forced = cv_vmap._force_xla_trunk(model)
+    assert forced.dense_trunk == "xla"
+    import dataclasses
+
+    assert dataclasses.replace(forced, dense_trunk="fused") == model
+    # non-fused models pass through untouched
+    assert cv_vmap._force_xla_trunk(forced) is forced
+
+    seen = []
+    orig = cv_vmap._force_xla_trunk
+    cv_vmap._force_xla_trunk = lambda m: seen.append(m) or orig(m)
+    try:
+        cv_vmap.make_dense_vmap_run(model, optax.adam(1e-3))
+    finally:
+        cv_vmap._force_xla_trunk = orig
+    assert seen == [model]
