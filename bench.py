@@ -712,8 +712,10 @@ def main():
             round(max(x["pct_of_sol"] for x in rs), 2),
         ],
         "routed": r["routed"],
-        **({"weak_signal": True}
-           if any(x.get("weak_signal") for x in rs) else {}),
+        # weak_signal reflects the SELECTED median sample — a solid median
+        # must not be labeled weak by one noisy outlier (the outlier stays
+        # visible via pct_of_sol_spread)
+        **({"weak_signal": True} if r.get("weak_signal") else {}),
     }
 
     value = total_edges / total_time

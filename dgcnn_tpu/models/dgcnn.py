@@ -447,8 +447,13 @@ def _block_propagate_bwd(res, g):
     g_pad = jnp.concatenate([g, jnp.zeros((1, bs, g.shape[2]), g.dtype)])
     rowsT = item_row[item_permT]  # padded items map to row nb → zero block
     # bf16-stored blocks stay bf16 (the cotangent rounds down instead of
-    # the W×bs×bs block stream rounding up — same MXU math, half the reads)
-    bdt = blocks.dtype if blocks.dtype == jnp.bfloat16 else g.dtype
+    # the W×bs×bs block stream rounding up — same MXU math, half the
+    # reads); int8 binary-count pools compute at the forward's hb dtype
+    bdt = (
+        blocks.dtype if blocks.dtype == jnp.bfloat16
+        else h_dtype if blocks.dtype == jnp.int8
+        else g.dtype
+    )
     partsT = jnp.einsum(
         "wij,wif->wjf", blocks[item_permT].astype(bdt),
         g_pad[rowsT].astype(bdt),
@@ -587,8 +592,13 @@ def _chunked_vjp_bwd(res, g):
         item_permT
     colsT = _pad_items(item_colT, w_pad, nb)
     g_pad = jnp.concatenate([g, jnp.zeros((1, bs, f), g.dtype)])
-    # bf16-stored blocks stay bf16 (same trade as _block_propagate_bwd)
-    bdt = pool.dtype if pool.dtype == jnp.bfloat16 else g.dtype
+    # bf16-stored blocks stay bf16 (same trade as _block_propagate_bwd);
+    # int8 binary-count pools compute at the forward's hb dtype
+    bdt = (
+        pool.dtype if pool.dtype == jnp.bfloat16
+        else h_dtype if pool.dtype == jnp.int8
+        else g.dtype
+    )
     trips = jnp.minimum(
         (num_items.astype(jnp.int32) + chunk - 1) // chunk, w_pad // chunk
     )
@@ -805,7 +815,11 @@ def _folds_vjp_bwd(res, g):
         [g, jnp.zeros((f, 1, bs, d), g.dtype)], axis=1
     ).reshape(seg_pad, bs, d)
     g_pad = jnp.concatenate([g_pad, jnp.zeros((1, bs, d), g.dtype)])
-    bdt = pool.dtype if pool.dtype == jnp.bfloat16 else g.dtype
+    bdt = (
+        pool.dtype if pool.dtype == jnp.bfloat16
+        else h_dtype if pool.dtype == jnp.int8
+        else g.dtype
+    )
     trips = jnp.minimum(
         (num_items.astype(jnp.int32) + chunk - 1) // chunk, w_pad // chunk
     )

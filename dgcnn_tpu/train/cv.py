@@ -1371,8 +1371,8 @@ def run_cross_validation(cfg: Config, dataset: Optional[GraphSet] = None, allow_
         if fold_shard_devices(cfg.mesh_shape, cfg.num_folds) is None:
             problems.append(
                 f"mesh_shape={cfg.mesh_shape} (fold-sharded lockstep "
-                f"needs a (D, 1) mesh with D dividing num_folds="
-                f"{cfg.num_folds})"
+                f"needs a (D, 1) mesh; D ∤ num_folds is fine — the "
+                f"fold axis pads with masked folds)"
             )
         if problems:
             raise ValueError(

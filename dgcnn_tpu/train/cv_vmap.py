@@ -26,6 +26,7 @@ ordered by epoch rather than by fold.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Callable, List, Tuple
@@ -159,9 +160,7 @@ def _force_xla_trunk(model: DGCNN) -> DGCNN:
     form, so the lockstep program stays on the einsum chain regardless
     of --dense_trunk (2026-08-21 A/B record: Config.resolved_dense_trunk)."""
     if model.dense_trunk == "fused":
-        import dataclasses as _dc
-
-        model = _dc.replace(model, dense_trunk="xla")
+        model = dataclasses.replace(model, dense_trunk="xla")
     return model
 
 
@@ -332,14 +331,18 @@ def fold_shard_devices(mesh_shape, num_folds: int):
     Fold-lockstep puts the K independent fold trainings on a leading
     vmap axis; sharding that axis over the mesh "data" axis runs K folds
     concurrently on the mesh with no collectives (the pod recipe half
-    SCALING.md names). Requires a (D, 1) mesh whose D divides K; returns
-    1 for a single-chip run (plain lockstep)."""
+    SCALING.md names). Requires a (D, 1) mesh; returns 1 for a
+    single-chip run (plain lockstep). When D does not divide K (the
+    reference's 10 folds on the common 4- and 8-chip hosts,
+    reference train.py:93), the runner pads the fold axis with fully
+    masked folds up to the next multiple of D — an all-(−1)-step fold
+    contributes zero loss/grads and its optimizer state stays frozen
+    (`_make_lockstep_body` masking), so padding changes no real fold's
+    math (round-5 item: VERDICT r4 #2)."""
     d, g = mesh_shape
     if g != 1 or d < 1:
         return None
-    if d == 1:
-        return 1
-    return d if num_folds % d == 0 else None
+    return max(d, 1)
 
 
 def _stacked_orders(
@@ -375,11 +378,22 @@ def run_cv_folds_vmap(
     block-sparse or multi-tile layout, optionally fold-SHARDED over a
     (D, 1) mesh (fold_shard_devices). Returns (train_accs, test_accs)
     and writes the sequential driver's artifact set."""
-    F = len(folds)
+    F_real = len(folds)
     slots = ((cfg.batch_size + cfg.graph_pad_multiple - 1)
              // cfg.graph_pad_multiple) * cfg.graph_pad_multiple
 
-    n_shard = fold_shard_devices(cfg.mesh_shape, F) or 1
+    n_shard = fold_shard_devices(cfg.mesh_shape, F_real) or 1
+    # D ∤ K: pad the fold axis with fully masked folds (every step row
+    # all-(−1) → zero loss/grads, frozen Adam state, no PRNG consumption,
+    # no artifacts) so 10 folds shard over 4- or 8-device meshes
+    F = -(-F_real // n_shard) * n_shard
+    if F > F_real:
+        empty = np.zeros(0, np.int32)
+        folds = list(folds) + [(empty, empty)] * (F - F_real)
+        print(
+            f"[dgcnn_tpu] fold axis padded {F_real} → {F} "
+            f"(masked folds) for {n_shard}-way fold sharding"
+        )
     mesh = state_shard = order4d_shard = order3d_shard = data_shard = None
     if n_shard > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -441,9 +455,9 @@ def run_cv_folds_vmap(
             else cfg.resolved_adj_dtype()
         )
         if pool_dt != "float32":
-            import dataclasses as _dc
-
-            bdev = _dc.replace(bdev, pool=bdev.pool.astype(jnp.dtype(pool_dt)))
+            bdev = dataclasses.replace(
+                bdev, pool=bdev.pool.astype(jnp.dtype(pool_dt))
+            )
         data = put_data(bdev)
         if cfg.block_impl == "pallas":
             # the fused CSR kernel is per-batch; the lockstep program runs
@@ -516,6 +530,8 @@ def run_cv_folds_vmap(
             nonlocal slot_floor
             need = slot_floor
             for ids in ids_seqs:
+                if len(ids) == 0:  # padded masked fold (D ∤ K sharding)
+                    continue
                 counts = class_batch_counts(routing, ids, cfg.batch_size)
                 need = np.maximum(need, counts.max(axis=0))
             slot_floor = -(-need // 4) * 4
@@ -631,7 +647,7 @@ def run_cv_folds_vmap(
             f"[dgcnn_tpu] fold-sharded lockstep: {F} folds over "
             f"{n_shard} mesh devices ({layout} layout)"
         )
-    metrics_f = [FoldMetrics() for _ in range(F)]
+    metrics_f = [FoldMetrics() for _ in range(F_real)]
     train_edges_f = [
         int(dataset.edge_counts()[np.asarray(tr)].sum()) for tr in train_idx_f
     ]
@@ -665,7 +681,7 @@ def run_cv_folds_vmap(
             "rng_f": np.asarray(rng_f),
             "epoch": np.int64(0),
             "metrics": {
-                c: np.zeros((F, 0)) for c in FoldMetrics.COLUMNS
+                c: np.zeros((F_real, 0)) for c in FoldMetrics.COLUMNS
             },
         }
         bundle = load_checkpoint(inflight, like)
@@ -683,7 +699,7 @@ def run_cv_folds_vmap(
                 "with the original --num_epochs or delete the inflight "
                 "checkpoint."
             )
-        for f in range(F):
+        for f in range(F_real):
             metrics_f[f].rows = {
                 c: list(map(float, bundle["metrics"][c][f]))
                 for c in FoldMetrics.COLUMNS
@@ -716,7 +732,7 @@ def run_cv_folds_vmap(
         dt = (time.perf_counter() - t0) / k
 
         for j in range(k):
-            for f in range(F):
+            for f in range(F_real):
                 tr_loss, te_loss, tr_c, te_c = rows[j, f]
                 train_acc = tr_c / n_train_f[f] * 100.0
                 test_acc = te_c / n_test_f[f] * 100.0
@@ -736,11 +752,11 @@ def run_cv_folds_vmap(
                         sum(train_edges_f) / dt if dt > 0 else 0.0
                     ),
                     chunk_epochs=k,
-                    folds_in_lockstep=F,
+                    folds_in_lockstep=F_real,
                 )
             if cfg.log_every and (epoch + j) % cfg.log_every == 0:
                 accs = " ".join(
-                    f"{rows[j, f, 3] / n_test_f[f] * 100.0:.1f}" for f in range(F)
+                    f"{rows[j, f, 3] / n_test_f[f] * 100.0:.1f}" for f in range(F_real)
                 )
                 print(f"[all folds] epoch {epoch + j}: test% [{accs}] ({dt:.2f}s)")
         epoch += k
@@ -752,7 +768,7 @@ def run_cv_folds_vmap(
     # hundreds of tiny D2H round-trips on this transport.
     host_params, host_opt = jax.device_get((params_f, opt_f))
     train_accs, test_accs = [], []
-    for f in range(F):
+    for f in range(F_real):
         fold_params = jtu.tree_map(lambda a: a[f], host_params)
         fold_opt = jtu.tree_map(lambda a: a[f], host_opt)
         save_checkpoint(

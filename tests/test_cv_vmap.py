@@ -129,9 +129,11 @@ def test_lockstep_explicit_request_validates(tmp_path):
         run_cross_validation(
             _cfg(tmp_path, "y", cv_parallel="folds", layout="coo"), dataset=gs
         )
+    # a (D, 1) mesh with D ∤ num_folds is now VALID (padded masked
+    # folds); only a non-(D, 1) mesh stays incompatible
     with pytest.raises(ValueError, match="mesh"):
         run_cross_validation(
-            _cfg(tmp_path, "z", cv_parallel="folds", mesh_shape=(2, 1)),
+            _cfg(tmp_path, "z", cv_parallel="folds", mesh_shape=(2, 2)),
             dataset=gs,
         )
 
@@ -183,6 +185,47 @@ def test_fold_sharded_lockstep_matches_single_device(tmp_path):
     np.testing.assert_allclose(r2["train_accuracies"], r1["train_accuracies"])
 
 
+def test_fold_sharded_lockstep_pads_nondivisible_folds(tmp_path):
+    """D ∤ K fold sharding (VERDICT r4 #2): 3 folds on a (2, 1) mesh pad
+    the fold axis to 4 with a fully masked fold — per-fold metrics must
+    equal the one-device lockstep run's, and only the 3 real folds may
+    produce artifacts."""
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=30, seed=7)
+    kw = dict(num_folds=3, num_epochs=2)
+    r1 = run_cross_validation(
+        _cfg(tmp_path, "p1", cv_parallel="folds", **kw), dataset=gs
+    )
+    r2 = run_cross_validation(
+        _cfg(tmp_path, "p2", cv_parallel="folds", mesh_shape=(2, 1), **kw),
+        dataset=gs,
+    )
+    np.testing.assert_allclose(r2["test_accuracies"], r1["test_accuracies"])
+    np.testing.assert_allclose(r2["train_accuracies"], r1["train_accuracies"])
+    assert len(r2["test_accuracies"]) == 3
+    stats = tmp_path / "p2" / "statistics"
+    assert (stats / "MUTAG_results_3.csv").exists()
+    assert not (stats / "MUTAG_results_4.csv").exists()
+    assert not (tmp_path / "p2" / "epochs" / "MUTAG_4.npz").exists()
+
+
+@pytest.mark.parametrize("layout", ["block", "multi"])
+def test_fold_sharded_block_lockstep_pads_nondivisible_folds(tmp_path, layout):
+    """Same D ∤ K padding on the BLOCK and MULTI layouts (their runners
+    wrap the body in shard_map with per-device merged streams — the
+    padded fold contributes zero items on its device group)."""
+    gs = synthesize_tu_dataset("MUTAG", num_graphs=30, seed=7)
+    kw = dict(num_folds=3, num_epochs=2, layout=layout)
+    r1 = run_cross_validation(
+        _cfg(tmp_path, "q1", cv_parallel="folds", **kw), dataset=gs
+    )
+    r2 = run_cross_validation(
+        _cfg(tmp_path, "q2", cv_parallel="folds", mesh_shape=(2, 1), **kw),
+        dataset=gs,
+    )
+    np.testing.assert_allclose(r2["test_accuracies"], r1["test_accuracies"])
+    np.testing.assert_allclose(r2["train_accuracies"], r1["train_accuracies"])
+
+
 def test_fold_shard_devices_predicate():
     from dgcnn_tpu.train.cv_vmap import fold_shard_devices
 
@@ -190,6 +233,9 @@ def test_fold_shard_devices_predicate():
     assert fold_shard_devices((2, 1), 10) == 2
     assert fold_shard_devices((5, 1), 10) == 5
     assert fold_shard_devices((10, 1), 10) == 10
-    assert fold_shard_devices((4, 1), 10) is None   # 10 % 4 != 0
+    # D ∤ K: still shardable — the runner pads the fold axis with masked
+    # folds (VERDICT r4 #2: 10 folds must shard on 4- and 8-chip hosts)
+    assert fold_shard_devices((4, 1), 10) == 4
+    assert fold_shard_devices((8, 1), 10) == 8
     assert fold_shard_devices((2, 2), 10) is None   # graph axis must be 1
     assert fold_shard_devices((8, 1), 8) == 8

@@ -107,7 +107,7 @@ def test_model_trunk_fused_matches_xla_path():
     np.testing.assert_array_equal(np.asarray(lp_x), np.asarray(lp_f))
 
 
-def test_lockstep_runner_forces_xla_trunk():
+def test_lockstep_runner_forces_xla_trunk(monkeypatch):
     """make_dense_vmap_run must not route the fused trunk: it vmaps the
     whole apply over the fold axis, which would batch the pallas grid
     (unsupported form — the 2026-08-21 on-chip A/B record in
@@ -129,9 +129,8 @@ def test_lockstep_runner_forces_xla_trunk():
 
     seen = []
     orig = cv_vmap._force_xla_trunk
-    cv_vmap._force_xla_trunk = lambda m: seen.append(m) or orig(m)
-    try:
-        cv_vmap.make_dense_vmap_run(model, optax.adam(1e-3))
-    finally:
-        cv_vmap._force_xla_trunk = orig
+    monkeypatch.setattr(
+        cv_vmap, "_force_xla_trunk", lambda m: seen.append(m) or orig(m)
+    )
+    cv_vmap.make_dense_vmap_run(model, optax.adam(1e-3))
     assert seen == [model]

@@ -15,9 +15,10 @@ Decides Config.resolved_dense_trunk's "auto" arm. Run on the real chip:
     python tools/probe_dense_trunk.py [trials]
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
