@@ -906,8 +906,10 @@ def apply_block_folds(
         layer_outs.append(h)
 
     cat = jnp.concatenate(layer_outs, axis=-1)
+    # block-row-aligned node axes → the row-block top-k prefilter shrinks
+    # the per-fold sort bs/k× with identical selection (ops/sort_pool.py)
     pooled = sort_pool_folds(
-        cat, batch.node_graph, num_slots, model.sort_pool_k
+        cat, batch.node_graph, num_slots, model.sort_pool_k, row_block=bs
     )
 
     if deterministic:
@@ -1011,7 +1013,11 @@ def apply_block(
         acts[f"gcn{i + 1}"] = h
 
     cat = jnp.concatenate(layer_outs, axis=-1)
-    pooled = sort_pool(cat, batch.node_graph, num_slots, model.sort_pool_k)
+    # block-row-aligned node axis -> row-block top-k prefilter (bs/k x
+    # smaller sort, identical selection -- ops/sort_pool.py)
+    pooled = sort_pool(
+        cat, batch.node_graph, num_slots, model.sort_pool_k, row_block=bs
+    )
     acts["sort_pool"] = pooled
 
     log_probs = _pooled_to_log_probs(

@@ -24,11 +24,37 @@ import jax
 import jax.numpy as jnp
 
 
+def _row_block_candidates(key, node_graph, num_graph_slots, k, row_block):
+    """Per-row-block top-k prefilter (round-5 DD sortpool lever): when the
+    packed node axis is partitioned into `row_block`-sized runs that each
+    belong to ONE graph (the block layout packs graphs block-row-aligned,
+    batching/block_sparse.py), a graph's global top-k lies inside the
+    union of its row-blocks' top-k — so the expensive stable sort runs
+    over nb·k candidates instead of nb·row_block nodes (k=30 vs bs=128:
+    a 4.3× smaller sort, −50 µs fwd / −40 µs grad per DD step, on-chip
+    probe 2026-08-21 tools/probe_block_opt.py).
+
+    Tie order is IDENTICAL to the full sort: lax.top_k breaks ties by
+    lower index, candidates enumerate in (row, rank) order — which for
+    equal keys is original node order — and the downstream sort is
+    stable. Returns [nb·k] original node rows in that order."""
+    n = key.shape[0]
+    nb = n // row_block
+    keym = jnp.where(
+        node_graph < num_graph_slots, key, -jnp.inf
+    ).reshape(nb, row_block)
+    _, idx = jax.lax.top_k(keym, k)  # [nb, k] ties → lower index first
+    return (
+        idx + (jnp.arange(nb, dtype=jnp.int32) * row_block)[:, None]
+    ).reshape(-1)
+
+
 def sort_pool(
     x: jax.Array,
     node_graph: jax.Array,
     num_graph_slots: int,
     k: int,
+    row_block: int = 0,
 ) -> jax.Array:
     """[N, C] node features → [num_graph_slots, k, C] sort-pooled features.
 
@@ -37,12 +63,27 @@ def sort_pool(
       node_graph: graph slot per node; padded nodes == num_graph_slots.
       num_graph_slots: static number of graph slots (B_pad).
       k: static number of nodes kept per graph.
+      row_block: when > k and dividing N, the node axis is promised to be
+        partitioned into row_block-sized single-graph runs (block layout)
+        and the sort runs over per-run top-k candidates only
+        (`_row_block_candidates`) — identical output, ~row_block/k
+        smaller sort.
     """
     n = x.shape[0]
     key = x[:, -1].astype(jnp.float32)
-    node_idx = jnp.arange(n, dtype=jnp.int32)
 
-    # lexicographic stable sort: graph ascending, key descending.
+    if row_block > k and n % row_block == 0:
+        node_idx = _row_block_candidates(
+            key, node_graph, num_graph_slots, k, row_block
+        )
+        key = jnp.take(key, node_idx)
+        node_graph = jnp.take(node_graph, node_idx)
+    else:
+        node_idx = jnp.arange(n, dtype=jnp.int32)
+
+    # lexicographic stable sort: graph ascending, key descending. The
+    # payload is the ORIGINAL node row of each (possibly prefiltered)
+    # entry; entries arrive in original node order for equal keys.
     g_sorted, _, perm = jax.lax.sort(
         (node_graph.astype(jnp.int32), -key, node_idx), num_keys=2
     )
@@ -52,7 +93,10 @@ def sort_pool(
         g_sorted, jnp.arange(num_graph_slots, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     safe_g = jnp.minimum(g_sorted, num_graph_slots - 1)
-    rank = jnp.arange(n, dtype=jnp.int32) - jnp.take(starts, safe_g)
+    rank = (
+        jnp.arange(node_idx.shape[0], dtype=jnp.int32)
+        - jnp.take(starts, safe_g)
+    )
 
     # scatter INDICES, then gather only the kept rows: the sort decides
     # placement on [n] int keys alone, so the [n, C] feature matrix is
@@ -73,6 +117,7 @@ def sort_pool_folds(
     node_graph: jax.Array,
     num_graph_slots: int,
     k: int,
+    row_block: int = 0,
 ) -> jax.Array:
     """Fold-lockstep SortPooling: [F, S, C] → [F, num_graph_slots, k, C].
 
@@ -86,28 +131,43 @@ def sort_pool_folds(
     top-i node sits at sorted position starts[g] + i, so the [B·k]
     output enumerates sorted positions directly — no per-node rank
     gather and no [F·S]-element index scatter (each measured ~1.3-1.5 ms
-    per DD lockstep step; the gather form touches only B·k indices)."""
+    per DD lockstep step; the gather form touches only B·k indices).
+
+    `row_block` as in `sort_pool`: per-fold row-block top-k prefilter
+    shrinks the sorted axis S → (S/row_block)·k with identical output
+    (the block lockstep's node axes are block-row-aligned)."""
     f, s, c = x.shape
     sp1 = num_graph_slots + 1  # per-fold groups incl. the padding group
     key = x[..., -1].astype(jnp.float32)
-    node_idx = jnp.broadcast_to(
-        jnp.arange(s, dtype=jnp.int32)[None, :], (f, s)
-    )
+
+    if row_block > k and s % row_block == 0:
+        node_idx = jax.vmap(
+            lambda kk, ng: _row_block_candidates(
+                kk, ng, num_graph_slots, k, row_block
+            )
+        )(key, node_graph)  # [F, n_sub] per-fold-local original rows
+        key = jnp.take_along_axis(key, node_idx, axis=1)
+        node_graph = jnp.take_along_axis(node_graph, node_idx, axis=1)
+    else:
+        node_idx = jnp.broadcast_to(
+            jnp.arange(s, dtype=jnp.int32)[None, :], (f, s)
+        )
+    n_sub = node_idx.shape[1]
     g_sorted, _, perm = jax.lax.sort(
         (node_graph.astype(jnp.int32), -key, node_idx), num_keys=2
     )
 
     foff = (jnp.arange(f, dtype=jnp.int32) * sp1)[:, None]
-    gid = (g_sorted + foff).reshape(-1)  # [F·S], non-decreasing
+    gid = (g_sorted + foff).reshape(-1)  # [F·n_sub], non-decreasing
     bounds = jnp.searchsorted(
         gid, jnp.arange(f * sp1 + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)  # group run starts; bounds[-1] == F·S
+    ).astype(jnp.int32)  # group run starts; bounds[-1] == F·n_sub
 
     # output cell (group, i) ← sorted position starts[group] + i, valid
     # while it stays inside the group's run
     pos = bounds[:-1, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
     valid = (pos < bounds[1:, None]).reshape(-1)  # [F·sp1·k]
-    pos = jnp.minimum(pos, f * s - 1).reshape(-1)
+    pos = jnp.minimum(pos, f * n_sub - 1).reshape(-1)
     perm_flat = (
         perm + (jnp.arange(f, dtype=jnp.int32) * s)[:, None]
     ).reshape(-1)

@@ -387,6 +387,89 @@ def test_sort_pool_folds_matches_vmapped_sort_pool():
                                rtol=1e-6, atol=1e-7)
 
 
+def _block_aligned_ids(rng, rb, slots, sizes):
+    """[Σceil(n/rb)·rb] graph ids packed block-row-aligned like
+    batching/block_sparse.py: graph g occupies whole row-blocks, tail
+    rows of its last block carry the padding id == slots."""
+    ng = []
+    for g, n in enumerate(sizes):
+        nb = -(-n // rb)
+        ids = np.full(nb * rb, slots, np.int32)
+        ids[:n] = g
+        ng.append(ids)
+    return np.concatenate(ng)
+
+
+def test_sort_pool_row_block_prefilter_exact():
+    """sort_pool(row_block=rb) must equal the full-sort path bitwise
+    (fwd and grad) on block-row-aligned ids — including ties (quantized
+    keys), sub-k graphs, >k nodes in one row-block, multi-block graphs
+    and padded tail rows. The prefilter is the round-5 DD sortpool lever
+    (reference SortAggregation semantics, model.py:17,35)."""
+    import jax
+
+    from dgcnn_tpu.ops.sort_pool import sort_pool
+
+    rng = np.random.default_rng(11)
+    rb, k, C = 8, 3, 5
+    sizes = [2, 17, 8, 1, 30, 9]  # sub-k, multi-block, exact-block, ...
+    slots = len(sizes) + 2  # two empty trailing slots
+    ng = _block_aligned_ids(rng, rb, slots, sizes)
+    S = len(ng)
+    x = jnp.asarray(rng.normal(size=(S, C)).astype(np.float32))
+    x = x.at[:, -1].set(jnp.round(x[:, -1] * 2) / 2)  # force ties
+    ngj = jnp.asarray(ng)
+
+    ref = sort_pool(x, ngj, slots, k)
+    out = sort_pool(x, ngj, slots, k, row_block=rb)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    g_ref = jax.grad(lambda x: (sort_pool(x, ngj, slots, k) ** 2).sum())(x)
+    g_out = jax.grad(
+        lambda x: (sort_pool(x, ngj, slots, k, row_block=rb) ** 2).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_out),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_sort_pool_folds_row_block_prefilter_exact():
+    """Same prefilter equality for the fold-lockstep form (the DD
+    production path, apply_block_folds)."""
+    import jax
+
+    from dgcnn_tpu.ops.sort_pool import sort_pool_folds
+
+    rng = np.random.default_rng(13)
+    rb, k, C, F = 8, 3, 4, 3
+    slots = 6
+    mats = []
+    for _ in range(F):
+        sizes = list(rng.integers(1, 20, size=4))
+        ids = _block_aligned_ids(rng, rb, slots, sizes)
+        mats.append(ids)
+    S = max(len(m) for m in mats)
+    S = -(-S // rb) * rb
+    ng = np.full((F, S), slots, np.int32)
+    for f, m in enumerate(mats):
+        ng[f, : len(m)] = m
+    x = jnp.asarray(rng.normal(size=(F, S, C)).astype(np.float32))
+    x = x.at[..., -1].set(jnp.round(x[..., -1] * 2) / 2)
+    ngj = jnp.asarray(ng)
+
+    ref = sort_pool_folds(x, ngj, slots, k)
+    out = sort_pool_folds(x, ngj, slots, k, row_block=rb)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    g_ref = jax.grad(
+        lambda x: (sort_pool_folds(x, ngj, slots, k) ** 2).sum()
+    )(x)
+    g_out = jax.grad(
+        lambda x: (sort_pool_folds(x, ngj, slots, k, row_block=rb) ** 2).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_out),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_sort_pool_dense_onehot_rows_exact():
     """The one-hot-matmul row selection must reproduce gathered rows
     EXACTLY (each output row is 1.0 x one input row, fp32-accumulated),

@@ -122,7 +122,125 @@ def main(argv=None):
     S = args.steps
     report = {}
 
-    def make_prop_loss(pool, chunk, factored):
+    def _pair_core(hb, pool, ip, rows, cols, num_items, chunk, nsegs):
+        w = ip.shape[0]
+        step = 2 * chunk
+        w_pad = -(-w // step) * step
+        sentinel = pool.shape[0] - 1
+        ip = M._pad_items(ip, w_pad, sentinel)
+        rows = M._pad_items(rows, w_pad, nsegs - 1)
+        cols = M._pad_items(cols, w_pad, 0)
+        trips = jnp.minimum(
+            (num_items.astype(jnp.int32) + step - 1) // step, w_pad // step
+        )
+        bsz, f = hb.shape[1], hb.shape[2]
+
+        def one(st, out):
+            ipc = jax.lax.dynamic_slice_in_dim(ip, st, chunk)
+            rc = jax.lax.dynamic_slice_in_dim(rows, st, chunk)
+            cc = jax.lax.dynamic_slice_in_dim(cols, st, chunk)
+            blocks = pool[ipc].astype(hb.dtype)
+            parts = jnp.einsum("wij,wjf->wif", blocks, hb[cc],
+                               preferred_element_type=jnp.float32)
+            return out + jax.ops.segment_sum(
+                parts, rc, num_segments=nsegs, indices_are_sorted=True)
+
+        def body(k, carry):
+            a, b = carry
+            st = k * step
+            return one(st, a), one(st + chunk, b)
+
+        z = jnp.zeros((nsegs, bsz, f), jnp.float32) + 0.0 * hb.astype(
+            jnp.float32).sum()
+        a, b = jax.lax.fori_loop(0, trips, body, (z, z))
+        return a + b
+
+    def make_pair_propagate(chunk):
+        """Chunked propagation with TWO independent accumulators per
+        fori trip (the block-COO kernel's N_ACC idea at the XLA level):
+        the two chunks' gather→einsum→segment-sum chains share no carry
+        dependence inside a trip, so their HBM streams can overlap.
+        Backward mirrors the production col-major traversal."""
+
+        @jax.custom_vjp
+        def prop(hb, pool, ip, rows, cols, permT, colsT, num_items):
+            nb = hb.shape[0]
+            return _pair_core(
+                hb, pool, ip, rows, cols, num_items, chunk, nb + 1
+            )[:nb]
+
+        def fwd(hb, pool, ip, rows, cols, permT, colsT, num_items):
+            out = prop(hb, pool, ip, rows, cols, permT, colsT, num_items)
+            return out, (pool, ip, rows, permT, colsT, num_items)
+
+        def bwd(res, g):
+            pool, ip, rows, permT, colsT, num_items = res
+            nb, bsz, f = g.shape
+            g_pad = jnp.concatenate([g, jnp.zeros((1, bsz, f), g.dtype)])
+            ipT = ip[permT]
+            rowsT = rows[permT]
+            # transposed pass: parts = B^T @ g[rowsT], segment by colsT
+            d_hb = _pair_core_T(
+                g_pad, pool, ipT, rowsT, colsT, num_items, chunk, nb + 1
+            )[:nb]
+            import numpy as _np
+
+            f0 = jax.dtypes.float0
+            zi = lambda a: _np.zeros(a.shape, dtype=f0)
+            return (d_hb.astype(jnp.bfloat16), jnp.zeros_like(pool),
+                    zi(ip), zi(rows), zi(rows), zi(permT), zi(colsT),
+                    zi(num_items))
+
+        prop.defvjp(fwd, bwd)
+        return prop
+
+    def _pair_core_T(g_pad, pool, ipT, rowsT, colsT, num_items, chunk,
+                     nsegs):
+        w = ipT.shape[0]
+        step = 2 * chunk
+        w_pad = -(-w // step) * step
+        sentinel = pool.shape[0] - 1
+        ipT = M._pad_items(ipT, w_pad, sentinel)
+        rowsT = M._pad_items(rowsT, w_pad, g_pad.shape[0] - 1)
+        colsT = M._pad_items(colsT, w_pad, nsegs - 1)
+        trips = jnp.minimum(
+            (num_items.astype(jnp.int32) + step - 1) // step, w_pad // step
+        )
+        bsz, f = g_pad.shape[1], g_pad.shape[2]
+        bdt = jnp.bfloat16
+
+        def one(st, out):
+            ipc = jax.lax.dynamic_slice_in_dim(ipT, st, chunk)
+            rc = jax.lax.dynamic_slice_in_dim(rowsT, st, chunk)
+            cc = jax.lax.dynamic_slice_in_dim(colsT, st, chunk)
+            blocks = pool[ipc].astype(bdt)
+            parts = jnp.einsum("wij,wif->wjf", blocks,
+                               g_pad[rc].astype(bdt),
+                               preferred_element_type=jnp.float32)
+            return out + jax.ops.segment_sum(
+                parts, cc, num_segments=nsegs, indices_are_sorted=True)
+
+        def body(k, carry):
+            a, b = carry
+            st = k * step
+            return one(st, a), one(st + chunk, b)
+
+        z = jnp.zeros((nsegs, bsz, f), jnp.float32) + 0.0 * g_pad.astype(
+            jnp.float32).sum()
+        a, b = jax.lax.fori_loop(0, trips, body, (z, z))
+        return a + b
+
+    pair_props = {}
+
+    def pair_propagate(hb, pool, fx, chunk):
+        if chunk not in pair_props:
+            pair_props[chunk] = make_pair_propagate(chunk)
+        return pair_props[chunk](
+            hb, pool, fx.item_pool, fx.item_row, fx.item_col,
+            fx.item_permT, fx.item_colT, fx.num_items,
+        )
+
+    def make_prop_loss(pool, chunk, factored, mode="chunked"):
         def prop_loss(ws, fx, pool, dinv, seed):
             h = fx.x + seed
             for w in ws:
@@ -131,15 +249,28 @@ def main(argv=None):
                 if factored:
                     hw = hw * dinv[:, None]
                 hb = hw.astype(jnp.bfloat16).reshape(nb_budget, bs, -1)
-                old = M._PROP_CHUNK
-                M._PROP_CHUNK = chunk
-                try:
-                    agg = M.block_propagate_chunked(
-                        hb, pool, fx.item_pool, fx.item_row, fx.item_col,
-                        fx.item_permT, fx.item_colT, fx.num_items,
+                if mode == "pair":
+                    agg = pair_propagate(hb, pool, fx, chunk)
+                elif mode == "full":
+                    # non-chunked: one full-budget gather + einsum +
+                    # sorted segment-sum, fully pipelined by XLA (pays
+                    # the budget padding, skips the round latency)
+                    agg = M.block_propagate(
+                        hb, pool[fx.item_pool].astype(hb.dtype),
+                        fx.item_row, fx.item_col, fx.item_permT,
+                        fx.item_colT,
                     )
-                finally:
-                    M._PROP_CHUNK = old
+                else:
+                    old = M._PROP_CHUNK
+                    M._PROP_CHUNK = chunk
+                    try:
+                        agg = M.block_propagate_chunked(
+                            hb, pool, fx.item_pool, fx.item_row,
+                            fx.item_col, fx.item_permT, fx.item_colT,
+                            fx.num_items,
+                        )
+                    finally:
+                        M._PROP_CHUNK = old
                 agg = agg.reshape(nb_budget * bs, -1)
                 if factored:
                     agg = agg * dinv[:, None]
@@ -148,16 +279,14 @@ def main(argv=None):
 
         return prop_loss
 
-    for name, pool, chunk, factored in (
-        ("base", pool_bf16, 256, False),
-        ("base_c512", pool_bf16, 512, False),
-        ("base_c1024", pool_bf16, 1024, False),
-        ("int8", pool_int8, 256, True),
-        ("int8_c512", pool_int8, 512, True),
-        ("int8_c1024", pool_int8, 1024, True),
-        ("int8_c2048", pool_int8, 2048, True),
+    for name, pool, chunk, factored, mode in (
+        ("base", pool_bf16, 256, False, "chunked"),
+        ("base_c512", pool_bf16, 512, False, "chunked"),
+        ("base_pair128", pool_bf16, 128, False, "pair"),
+        ("base_pair256", pool_bf16, 256, False, "pair"),
+        ("int8_pair256", pool_int8, 256, True, "pair"),
     ):
-        prop_loss = make_prop_loss(pool, chunk, factored)
+        prop_loss = make_prop_loss(pool, chunk, factored, mode)
 
         @jax.jit
         def prop_fwd(ws, fx, pool, dinv, seed, prop_loss=prop_loss):
