@@ -52,6 +52,22 @@ def _time_epochs(run_one_epoch, reps=5):
     return min(times), times
 
 
+
+def _row_stats(per_epoch_times):
+    """Repeat statistics for a bench row (VERDICT r4 #6): the point value
+    stays min-over-reps (sheds scheduler/transport noise), but every row
+    also carries {median, spread, n} so round-over-round comparisons can
+    see the transport state instead of leaning on prose."""
+    ts = sorted(per_epoch_times)
+    n = len(ts)
+    med = ts[n // 2] if n % 2 == 1 else 0.5 * (ts[n // 2 - 1] + ts[n // 2])
+    return {
+        "epoch_ms_median": round(med * 1e3, 2),
+        "epoch_ms_spread": [round(ts[0] * 1e3, 2), round(ts[-1] * 1e3, 2)],
+        "n_samples": n,
+    }
+
+
 # per-epoch GTX-1070 training seconds (reference README.md:128-138)
 REFERENCE_EPOCH_SECONDS = {"NCI1": 61.04, "COLLAB": 202.65, "DD": 64.71}
 
@@ -301,7 +317,9 @@ def _bench_lockstep(gs, data_type, epochs_per_dispatch=25, batch_size=50):
     )
     counts = gs.edge_counts() - loops
     edges = float(sum(counts[np.asarray(tr)].sum() for tr, _ in folds))
-    return best / epochs_per_dispatch, edges
+    return best / epochs_per_dispatch, edges, [
+        t / epochs_per_dispatch for t in times
+    ]
 
 
 def _bench_coo(train, impl, epochs_per_dispatch=6):
@@ -514,7 +532,7 @@ def main():
             full_gs, _ = load_dataset(
                 name, allow_download=False, allow_synthetic=True
             )
-            ls_s, ls_edges = _bench_lockstep(full_gs, name)
+            ls_s, ls_edges, ls_times = _bench_lockstep(full_gs, name)
             per_fold = ls_s / 10.0
             detail[name] = {
                 "layout": "dense",
@@ -525,6 +543,7 @@ def main():
                     REFERENCE_EPOCH_SECONDS[name] / per_fold, 1
                 ),
             }
+            detail[name].update(_row_stats([t / 10.0 for t in ls_times]))
             _attach_mfu(detail[name], train, per_fold)
             # headline accounting stays one epoch per dataset (the
             # BASELINE.json derivation: one reference epoch each) — the
@@ -543,6 +562,7 @@ def main():
                 "edges_per_s": round(edges / best, 1),
                 "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS[name] / best, 1),
             }
+            detail[name].update(_row_stats(_times))
             _attach_mfu(detail[name], train, best)
             total_edges += edges
             total_time += best
@@ -616,6 +636,7 @@ def main():
             "edges_per_s": round(edges / best, 1),
             "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["NCI1"] / best, 1),
         }
+        detail["NCI1_singlefold"].update(_row_stats(_times))
     except Exception as exc:  # pragma: no cover - diagnostics only
         print(f"bench.py: single-fold row failed: {exc!r}", file=sys.stderr)
 
@@ -631,6 +652,7 @@ def main():
         "edges_per_s": round(dd_edges / best, 1),
         "vs_ref_epoch": round(REFERENCE_EPOCH_SECONDS["DD"] / best, 1),
     }
+    detail["DD_block"].update(_row_stats(_times))
     _attach_mfu(detail["DD_block"], dd_train, best)
     if full:
         # same engine under bf16 compute (fp32 params/loss) — the
@@ -730,6 +752,14 @@ def main():
             }
         )
     )
+    # timestamped transport note (VERDICT r4 #6): repeat medians/spreads
+    # live in each row; the timestamp lets round-over-round comparisons
+    # line rows up with the transport-state prose in RESULTS.md
+    detail["_bench_meta"] = {
+        "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "timing": "per-row: epoch_ms = min over n_samples dispatches; "
+                  "epoch_ms_median/epoch_ms_spread from the same samples",
+    }
     print(f"# sources={sources} paths={json.dumps(detail)}", file=sys.stderr)
 
 

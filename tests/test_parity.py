@@ -390,3 +390,164 @@ def test_vendored_golden_reproducible():
         pack_batch(gs, np.arange(n), compute_bucket(gs, n)),
     )
     compare_dumps(ours, _load_acts(golden), rtol=1e-6, atol=1e-7)
+
+
+def _install_fake_pyg(monkeypatch, data_root):
+    """Minimal torch_geometric stand-ins backed by plain torch (the
+    torch_oracle semantics), installed into sys.modules so
+    parity/pyg_dump.py runs END-TO-END offline (VERDICT r4 #8: the
+    egress recipe's argument/IO path must be exercised in the fast gate
+    so it cannot rot). The fake TUDataset serves the SAME synthetic
+    graphs `harness dump --synthetic` loads (load_dataset), with the
+    degree column stripped so pyg_dump's Indegree pre-transform
+    recomputes it."""
+    import sys
+    import types
+
+    from dgcnn_tpu.data.datasets import load_dataset
+    from dgcnn_tpu.parity.torch_oracle import _gcn_conv, _sort_pool
+
+    class _Data:
+        def __init__(self, x, edge_index, num_nodes):
+            self.x = x
+            self.edge_index = edge_index
+            self.num_nodes = num_nodes
+
+    class _TUDataset:
+        def __init__(self, root, name, pre_transform=None,
+                     use_node_attr=True):
+            gs, _ = load_dataset(
+                name, root=data_root, allow_download=False,
+                allow_synthetic=True, use_node_attr=use_node_attr,
+            )
+            self._graphs = []
+            for i in range(gs.num_graphs):
+                ns, ne = gs.node_ptr[i], gs.node_ptr[i + 1]
+                es, ee = gs.edge_ptr[i], gs.edge_ptr[i + 1]
+                x = torch.as_tensor(
+                    np.asarray(gs.x[ns:ne, :-1], np.float32)
+                )
+                x = x if x.shape[1] else None  # degree-only datasets
+                # GraphSet edge ids are graph-local already
+                ei = torch.as_tensor(np.stack([
+                    np.asarray(gs.edge_src[es:ee], np.int64),
+                    np.asarray(gs.edge_dst[es:ee], np.int64),
+                ]))
+                d = _Data(x, ei, int(ne - ns))
+                if pre_transform is not None:
+                    d = pre_transform(d)
+                self._graphs.append(d)
+            self.num_classes = gs.num_classes
+            self.num_features = int(self._graphs[0].x.shape[1])
+
+        def __len__(self):
+            return len(self._graphs)
+
+        def __getitem__(self, idx):
+            if isinstance(idx, list):
+                sub = object.__new__(_TUDataset)
+                sub._graphs = [self._graphs[i] for i in idx]
+                sub.num_classes = self.num_classes
+                sub.num_features = self.num_features
+                return sub
+            return self._graphs[idx]
+
+    class _DataLoader:
+        def __init__(self, ds, batch_size, shuffle=False):
+            assert not shuffle
+            self._ds = ds
+
+        def __iter__(self):
+            gs = [self._ds[i] for i in range(len(self._ds))]
+            xs, eis, bvec = [], [], []
+            off = 0
+            for b, d in enumerate(gs):
+                xs.append(d.x)
+                eis.append(d.edge_index + off)
+                bvec.append(torch.full((d.num_nodes,), b,
+                                       dtype=torch.long))
+                off += d.num_nodes
+            batch = _Data(torch.cat(xs), torch.cat(eis, dim=1), off)
+            batch.batch = torch.cat(bvec)
+            yield batch
+
+    class _GCNConv(torch.nn.Module):
+        def __init__(self, f_in, f_out):
+            super().__init__()
+            self.lin = torch.nn.Linear(f_in, f_out, bias=False)
+            self.bias = torch.nn.Parameter(torch.zeros(f_out))
+
+        def forward(self, x, edge_index):
+            return _gcn_conv(
+                x, self.lin.weight, self.bias,
+                edge_index[0], edge_index[1],
+            )
+
+    class _SortAggregation(torch.nn.Module):
+        def __init__(self, k):
+            super().__init__()
+            self.k = k
+
+        def forward(self, x, batch):
+            nb = int(batch.max()) + 1
+            xs = [x[batch == b] for b in range(nb)]
+            return _sort_pool(xs, self.k).reshape(nb, -1)
+
+    def _remove_self_loops(edge_index):
+        keep = edge_index[0] != edge_index[1]
+        return edge_index[:, keep], None
+
+    def _degree(col, num_nodes):
+        return torch.zeros(num_nodes).index_add_(
+            0, col.long(), torch.ones(col.shape[0])
+        )
+
+    tg = types.ModuleType("torch_geometric")
+    tg.datasets = types.ModuleType("torch_geometric.datasets")
+    tg.datasets.TUDataset = _TUDataset
+    tg.loader = types.ModuleType("torch_geometric.loader")
+    tg.loader.DataLoader = _DataLoader
+    tg.nn = types.ModuleType("torch_geometric.nn")
+    tg.nn.GCNConv = _GCNConv
+    tg.nn.SortAggregation = _SortAggregation
+    tg.utils = types.ModuleType("torch_geometric.utils")
+    tg.utils.remove_self_loops = _remove_self_loops
+    tg.utils.degree = _degree
+    for name, mod in (
+        ("torch_geometric", tg),
+        ("torch_geometric.datasets", tg.datasets),
+        ("torch_geometric.loader", tg.loader),
+        ("torch_geometric.nn", tg.nn),
+        ("torch_geometric.utils", tg.utils),
+    ):
+        monkeypatch.setitem(sys.modules, name, mod)
+
+
+def test_pyg_dump_recipe_dry_run(tmp_path, monkeypatch):
+    """The README golden-parity recipe end-to-end with torch standing in
+    for PyG: `harness dump` → `pyg_dump.py` → `harness compare` must
+    produce PARITY OK on the same synthetic graphs. Exercises
+    pyg_dump.py's real argument parsing, weight-npz ingestion
+    (state_dict key layout from parity/convert.py), forward, and output
+    format — so the zero-egress recipe cannot rot (VERDICT r4 #8)."""
+    from dgcnn_tpu.parity import harness, pyg_dump
+
+    root = str(tmp_path / "data")
+    ours = str(tmp_path / "ours.npz")
+    pyg = str(tmp_path / "pyg.npz")
+    n = 10
+
+    rc = harness.main([
+        "dump", "--data_type", "MUTAG", "--out", ours,
+        "--num_graphs", str(n), "--synthetic", "--data_root", root,
+    ])
+    assert rc == 0
+
+    _install_fake_pyg(monkeypatch, root)
+    pyg_dump.main([
+        "--data_type", "MUTAG", "--weights", ours, "--out", pyg,
+        "--num_graphs", str(n), "--data_root", root,
+    ])
+
+    rc = harness.main(["compare", ours, pyg])
+    assert rc == 0

@@ -249,7 +249,17 @@ def main(argv=None):
                 if factored:
                     hw = hw * dinv[:, None]
                 hb = hw.astype(jnp.bfloat16).reshape(nb_budget, bs, -1)
-                if mode == "pair":
+                if mode == "resident":
+                    from dgcnn_tpu.kernels.block_resident import (
+                        block_propagate_resident,
+                    )
+
+                    agg = block_propagate_resident(
+                        hb, pool, fx.item_pool, fx.item_row, fx.item_col,
+                        fx.item_permT, fx.item_colT,
+                        jax.default_backend() not in ("tpu", "axon"),
+                    )
+                elif mode == "pair":
                     agg = pair_propagate(hb, pool, fx, chunk)
                 elif mode == "full":
                     # non-chunked: one full-budget gather + einsum +
@@ -281,10 +291,8 @@ def main(argv=None):
 
     for name, pool, chunk, factored, mode in (
         ("base", pool_bf16, 256, False, "chunked"),
-        ("base_c512", pool_bf16, 512, False, "chunked"),
-        ("base_pair128", pool_bf16, 128, False, "pair"),
-        ("base_pair256", pool_bf16, 256, False, "pair"),
-        ("int8_pair256", pool_int8, 256, True, "pair"),
+        ("base_resident", pool_bf16, 0, False, "resident"),
+        ("int8_resident", pool_int8, 0, True, "resident"),
     ):
         prop_loss = make_prop_loss(pool, chunk, factored, mode)
 
