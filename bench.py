@@ -381,11 +381,17 @@ def _bench_coo(train, impl, epochs_per_dispatch=6):
     return best / epochs_per_dispatch, [t / epochs_per_dispatch for t in times]
 
 
-def _bench_block(train, epochs_per_dispatch=6, dtype="float32",
+def _bench_block(train, epochs_per_dispatch=24, dtype="float32",
                  adj_dtype="auto", block_impl="auto"):
     """Fused block-sparse training epochs (train/cv.py BlockSparseEngine —
     the auto-layout default for heavy-tailed datasets): nonzero 128×128
-    adjacency blocks, batched-MXU propagation, on-device assembly."""
+    adjacency blocks, batched-MXU propagation, on-device assembly.
+
+    epochs_per_dispatch matches the production driver's fusion depth
+    (Config.max_fused_epochs=25): at the round-4 value of 6, ~4.5 ms of
+    the reported DD epoch was pure per-dispatch transport floor (26.7 ms
+    ÷ 6 — tools/profile_block_step.py "empty" row) that the real CV run
+    amortizes 25-fold."""
     import jax
     import optax
 
