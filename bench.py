@@ -720,25 +720,37 @@ def main():
     # block serves 970 lanes, amortizing the A-build bound the round-3
     # anatomy measured. Record: tools/probe_spmm_foldbatch.py (54.6-57.0%
     # of SoL over 3 trials on 2026-08-20).
-    # median of 3 independent calls: single microbench samples swing with
-    # transport state (a one-sample row once recorded 423 µs/op against a
-    # same-hour probe median of 35 — RESULTS.md "transport noise") while
-    # tools/probe_spmm_foldbatch.py's median-of-trials reproduces 52-57%.
-    rs = [
-        spmm_microbench(num_nodes=1792, num_features=960,
-                        num_edges=7168, impl="pallas", reps=6,
-                        structure_kind="batch")
-        for _ in range(3)
-    ]
-    r = sorted(rs, key=lambda x: x["us_per_op"])[1]
+    # median + IQR of 7 independent calls (VERDICT r4 #4): single
+    # microbench samples swing with transport state (a one-sample row
+    # once recorded 423 µs/op against a same-hour probe median of 35 —
+    # RESULTS.md "transport noise"); round 4's 3-sample min/max spread
+    # was 35 points wide. 7 samples give a stable median and a
+    # quartile range that ignores the transport-tail outliers.
+    rs = sorted(
+        (
+            spmm_microbench(num_nodes=1792, num_features=960,
+                            num_edges=7168, impl="pallas", reps=6,
+                            structure_kind="batch")
+            for _ in range(7)
+        ),
+        key=lambda x: x["us_per_op"],
+    )
+    r = rs[len(rs) // 2]
     detail["spmm_foldbatch_f960"] = {
         "us_per_op": round(r["us_per_op"], 1),
         "achieved_gbps": round(r["achieved_gbps"], 2),
         "pct_of_sol": round(r["pct_of_sol"], 2),
+        # central quartiles (samples sorted by us_per_op; pct_of_sol is
+        # its monotone inverse) — the citable band
+        "pct_of_sol_iqr": [
+            round(rs[(3 * len(rs)) // 4]["pct_of_sol"], 2),
+            round(rs[len(rs) // 4]["pct_of_sol"], 2),
+        ],
         "pct_of_sol_spread": [
             round(min(x["pct_of_sol"] for x in rs), 2),
             round(max(x["pct_of_sol"] for x in rs), 2),
         ],
+        "n_samples": len(rs),
         "routed": r["routed"],
         # weak_signal reflects the SELECTED median sample — a solid median
         # must not be labeled weak by one noisy outlier (the outlier stays

@@ -154,11 +154,17 @@ def test_predict_scaling_prints_table_and_json():
     lines = proc.stdout.strip().splitlines()
     assert lines[0].startswith("| dataset |")
     data = json.loads(lines[-1])
-    assert len(data) == 8
-    for name, row in data.items():
+    ds_rows = {k: v for k, v in data.items() if isinstance(v, dict)}
+    assert len(ds_rows) == 8
+    for name, row in ds_rows.items():
         assert 0.0 < row["eff8_overlap"] <= 1.0, (name, row)
         assert 0.0 < row["eff8_serial"] < 1.0, (name, row)
         assert row["eff8_serial"] <= row["eff8_overlap"] + 1e-9
+    # fold-sharded lockstep table (round 5): zero-collective efficiency
+    # K/(D·ceil(K/D)) incl. the padded D ∤ K hosts
+    assert data["fold_eff_d2"] == 1.0
+    assert data["fold_eff_d8"] == 0.625  # 10 folds pad to 16 on 8 chips
+    assert data["fold_eff_d10"] == 1.0
 
 
 def test_kernel_anatomy_variants_interpret_mode():

@@ -74,6 +74,27 @@ def halo_seconds(h: int) -> float:
     return 2 * (2 * h * SUM_F * 4) / LINK_BW + 8 * HOP_LAT
 
 
+def fold_shard_eff(d: int, k: int = 10) -> float:
+    """Fold-sharded lockstep efficiency on a (D, 1) mesh: ZERO
+    collectives (folds are independent), so the only loss is fold-axis
+    padding when D ∤ K — the runner pads K up to ceil(K/D)·D masked
+    folds (train/cv_vmap.py, round 5), and every device executes
+    ceil(K/D) fold-programs. eff = K / (D · ceil(K/D))."""
+    return k / (d * math.ceil(k / d))
+
+
+def print_fold_table() -> dict:
+    print()
+    print("| fold-sharded lockstep (K=10) | D=2 | D=3 | D=4 | D=5 "
+          "| D=8 | D=10 |")
+    print("|---|---|---|---|---|---|---|")
+    row = {d: fold_shard_eff(d) for d in (2, 3, 4, 5, 8, 10)}
+    print("| efficiency (zero-collective) | "
+          + " | ".join(f"{row[d] * 100:.0f}%" for d in (2, 3, 4, 5, 8, 10))
+          + " |")
+    return {f"fold_eff_d{d}": round(v, 3) for d, v in row.items()}
+
+
 def main() -> int:
     print("| dataset | t_step 1-chip | grad-AR | eff@2 | eff@4 | eff@8 "
           "| eff@8 floor | halo/step (G=2) |")
@@ -104,6 +125,7 @@ def main() -> int:
             "eff8_serial": round(effs[8]["serial"], 3),
             "halo_us_g2": round(halo_us, 1),
         }
+    out.update(print_fold_table())
     print(json.dumps(out))
     return 0
 
