@@ -726,11 +726,15 @@ def main():
     # RESULTS.md "transport noise"); round 4's 3-sample min/max spread
     # was 35 points wide. 7 samples give a stable median and a
     # quartile range that ignores the transport-tail outliers.
+    # iters=60: at ~35 µs/op and unroll 64 the timed signal is ~130 ms
+    # per rep — an order of magnitude above this transport's ±10 ms
+    # dispatch-noise class, where the round-4 default (20 iters) left
+    # the row's spread at 35 SoL points
     rs = sorted(
         (
             spmm_microbench(num_nodes=1792, num_features=960,
                             num_edges=7168, impl="pallas", reps=6,
-                            structure_kind="batch")
+                            iters=60, structure_kind="batch")
             for _ in range(7)
         ),
         key=lambda x: x["us_per_op"],

@@ -906,10 +906,14 @@ def apply_block_folds(
         layer_outs.append(h)
 
     cat = jnp.concatenate(layer_outs, axis=-1)
-    # block-row-aligned node axes → the row-block top-k prefilter shrinks
-    # the per-fold sort bs/k× with identical selection (ops/sort_pool.py)
+    # NO row-block prefilter here, unlike apply_block: the lockstep
+    # asymmetry again (2026-08-21 on-chip A/B, DD full lockstep
+    # protocol: row_block=bs 37.35 vs row_block=0 36.07 ms/fold-epoch).
+    # The batched [F, S] sort parallelizes over folds, so it is not the
+    # bottleneck the flat path's sort is, and the prefilter's extra
+    # top_k + candidate gathers cost more than the smaller sort saves.
     pooled = sort_pool_folds(
-        cat, batch.node_graph, num_slots, model.sort_pool_k, row_block=bs
+        cat, batch.node_graph, num_slots, model.sort_pool_k
     )
 
     if deterministic:

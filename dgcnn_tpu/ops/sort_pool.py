@@ -141,13 +141,26 @@ def sort_pool_folds(
     key = x[..., -1].astype(jnp.float32)
 
     if row_block > k and s % row_block == 0:
-        node_idx = jax.vmap(
-            lambda kk, ng: _row_block_candidates(
-                kk, ng, num_graph_slots, k, row_block
-            )
-        )(key, node_graph)  # [F, n_sub] per-fold-local original rows
-        key = jnp.take_along_axis(key, node_idx, axis=1)
-        node_graph = jnp.take_along_axis(node_graph, node_idx, axis=1)
+        # flat-id candidate gathers: a fold-vmapped gather/take_along_axis
+        # lowers to a serialized batched form on TPU (the measured rule
+        # this module's docstrings record) — top_k itself is fine batched
+        # ([F·nb, rb] rows), and the candidate row gathers run on the
+        # flat [F·S] axis with fold offsets
+        nb_rows = s // row_block
+        keym = jnp.where(
+            node_graph < num_graph_slots, key, -jnp.inf
+        ).reshape(f * nb_rows, row_block)
+        _, idx = jax.lax.top_k(keym, k)  # ties → lower index first
+        node_idx = (
+            idx + (jnp.arange(f * nb_rows, dtype=jnp.int32)
+                   * row_block)[:, None]
+        ).reshape(f, nb_rows * k) % s  # per-fold-local original rows
+        flat = (
+            node_idx
+            + (jnp.arange(f, dtype=jnp.int32) * s)[:, None]
+        ).reshape(-1)
+        key = jnp.take(key.reshape(-1), flat).reshape(f, -1)
+        node_graph = jnp.take(node_graph.reshape(-1), flat).reshape(f, -1)
     else:
         node_idx = jnp.broadcast_to(
             jnp.arange(s, dtype=jnp.int32)[None, :], (f, s)

@@ -39,19 +39,19 @@ import json
 import math
 
 # (dataset, measured ms/epoch single chip, graphs, max-graph nodes H)
-# epoch times: RESULTS.md release validation 2026-08-20/21 (round-4
-# defaults — one-hot SortPooling selection, fold-lockstep dense+block;
-# synthetic profiles, chip v5e); H: published dataset stats (largest
-# graph's node count — the halo width is a dataset constant,
-# batching/shard_pack.py). Keep in sync with the RESULTS.md table
-# whenever it is re-measured.
+# epoch times: RESULTS.md release validation 2026-08-21 (round-5
+# defaults — flat-path row-block SortPooling prefilter, fold-lockstep
+# dense+block, one-hot selection; synthetic profiles, chip v5e);
+# H: published dataset stats (largest graph's node count — the halo
+# width is a dataset constant, batching/shard_pack.py). Keep in sync
+# with the RESULTS.md table whenever it is re-measured.
 ROWS = [
     ("MUTAG", 0.3, 188, 28),
-    ("PTC_MR", 0.4, 344, 109),
-    ("NCI1", 4.0, 4110, 111),
+    ("PTC_MR", 0.5, 344, 109),
+    ("NCI1", 4.1, 4110, 111),
     ("PROTEINS", 2.2, 1113, 620),
-    ("DD", 35.9, 1178, 5748),
-    ("COLLAB", 15.3, 5000, 492),
+    ("DD", 36.1, 1178, 5748),
+    ("COLLAB", 15.4, 5000, 492),
     ("IMDB-BINARY", 1.0, 1000, 136),
     ("IMDB-MULTI", 1.6, 1500, 89),
 ]

@@ -7,26 +7,28 @@ splits the ~1283 µs train step into prop_grad 606 µs (47%), sortpool
 replacements for the two dominant pieces, each as one fused
 scan-of-`steps` dispatch (same methodology as profile_block_step):
 
-  propagation (4 chained layers, fwd and value_and_grad):
-    prop/base        bf16 baked-weight pool (the round-4 production path)
-    prop/int8        int8 binary-count pool + per-node dinv scaling
-                     outside the propagation (D^-1/2 A D^-1/2 factored;
-                     HALF the dominant HBM stream, exact int8 counts)
-    prop/int8_c512   int8 pool with _PROP_CHUNK forced to 512 (bytes per
-                     chunk halve under int8 — retune the chunk A/B)
-    prop/int8_c1024  ... and 1024
+  propagation (4 chained layers, fwd and value_and_grad) — the probe
+  rows are a VARIANT MATRIX that was edited across the round-5 A/B
+  campaign; the final measured verdicts (all on-chip 2026-08-21, DD
+  budgets nb=216/w=1280) live in RESULTS.md "Five measured propagation
+  dead-ends". Modes supported by `make_prop_loss`:
+    chunked    production path (models/dgcnn.py block_propagate_chunked)
+               at a forced _PROP_CHUNK
+    full       non-chunked full-budget gather (block_propagate)
+    pair       two independent fori accumulator chains per trip
+    resident   the VMEM-resident Pallas kernel
+               (kernels/block_resident.py)
+  with bf16-baked vs int8-binarized pools (`factored` applies the
+  per-node dinv scaling outside the propagation — for int8 rows only
+  TIMING is faithful; the pool is binarized by sign, not rebuilt).
 
   sortpool ([S]-node segment formulation, fwd and value_and_grad):
     sp/base          ops/sort_pool.sort_pool (full [S] 3-operand sort)
-    sp/topk          two-stage: per-block-row lax.top_k(k) prefilter
-                     (each block-row belongs to ONE graph, so a graph's
-                     top-k is inside the union of its block-rows' top-k)
-                     then the same sort over the [nb*k] candidates —
-                     a bs/k (~4.3x) smaller sort, identical selection
+    sp/topk          two-stage per-block-row lax.top_k prefilter — the
+                     SHIPPED round-5 change (ops/sort_pool.py
+                     row_block); kept here as the measurement record
 
-For the int8 rows only TIMING is faithful (the pool is binarized by
-sign, not rebuilt); exact math lands with the production change and is
-pinned by tests. Run on the real chip:
+Run on the real chip:
 
     python tools/probe_block_opt.py --data_type DD
 """
