@@ -44,14 +44,13 @@ def conv1d_readout(
     h = jax.nn.relu(h)
 
     # MaxPool1d(2, 2) over the node axis (reference model.py:20,38).
-    h = jax.lax.reduce_window(
-        h,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, 2, 1),
-        window_strides=(1, 2, 1),
-        padding="VALID",
-    )
+    # Window == stride → the windows tile the axis, so the pool is an
+    # exact reshape + pairwise max. XLA's generic reduce_window lowers
+    # catastrophically for this tiny window on TPU: the round-5 NCI1
+    # lockstep trace put it at 149 µs/step — 34% of the whole step —
+    # vs ~0 for the reshape form (same values, same max-grad routing).
+    t2 = (h.shape[1] // 2) * 2
+    h = h[:, :t2].reshape(h.shape[0], t2 // 2, 2, h.shape[2]).max(axis=2)
 
     # conv6: channels-last 1-D convolution (reference model.py:19,39).
     # Operands share the compute dtype WITHOUT preferred_element_type —
