@@ -10,7 +10,10 @@ TPU-first re-design: the first "conv" has kernel == stride == channel
 count, i.e. it is one dot product per retained node — we keep the pooled
 tensor as [B, k, C] (channels-last) and lower it to a plain matmul on the
 MXU instead of an im2col conv. The second conv runs channels-last through
-`lax.conv_general_dilated` ('NHC'); the max-pool is a `reduce_window`.
+`lax.conv_general_dilated` ('NHC'); the max-pool's window equals its
+stride, so it is an exact reshape + pairwise max (round 5 — XLA's
+generic reduce_window lowering of the tiny window measured 34% of the
+NCI1 fold-lockstep step).
 
 Layout note: we flatten [B, T, c6] time-major, whereas torch flattens
 [B, c6, T] channel-major (reference model.py:40) — a fixed permutation of
@@ -45,12 +48,19 @@ def conv1d_readout(
 
     # MaxPool1d(2, 2) over the node axis (reference model.py:20,38).
     # Window == stride → the windows tile the axis, so the pool is an
-    # exact reshape + pairwise max. XLA's generic reduce_window lowers
-    # catastrophically for this tiny window on TPU: the round-5 NCI1
-    # lockstep trace put it at 149 µs/step — 34% of the whole step —
-    # vs ~0 for the reshape form (same values, same max-grad routing).
+    # exact reshape + pairwise `where` max. XLA's generic reduce_window
+    # lowers catastrophically for this tiny window on TPU: the round-5
+    # NCI1 lockstep trace put it at 149 µs/step — 34% of the whole step.
+    # `where(h0 >= h1, ...)` (NOT jnp.max) keeps the BACKWARD's
+    # tie-routing at select-FIRST — torch's max_pool1d convention and
+    # reduce_window's select-and-scatter — where jnp.max's VJP splits
+    # the cotangent among ties; degree-only datasets tie constantly
+    # (identical node features → identical conv5 rows), and the split
+    # measurably shifted 100-epoch accuracy endpoints.
     t2 = (h.shape[1] // 2) * 2
-    h = h[:, :t2].reshape(h.shape[0], t2 // 2, 2, h.shape[2]).max(axis=2)
+    hp = h[:, :t2].reshape(h.shape[0], t2 // 2, 2, h.shape[2])
+    h0, h1 = hp[:, :, 0], hp[:, :, 1]
+    h = jnp.where(h0 >= h1, h0, h1)
 
     # conv6: channels-last 1-D convolution (reference model.py:19,39).
     # Operands share the compute dtype WITHOUT preferred_element_type —
