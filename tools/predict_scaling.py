@@ -47,13 +47,13 @@ import math
 # with the RESULTS.md table whenever it is re-measured.
 ROWS = [
     ("MUTAG", 0.3, 188, 28),
-    ("PTC_MR", 0.5, 344, 109),
-    ("NCI1", 4.1, 4110, 111),
-    ("PROTEINS", 2.2, 1113, 620),
+    ("PTC_MR", 0.3, 344, 109),
+    ("NCI1", 2.7, 4110, 111),
+    ("PROTEINS", 1.9, 1113, 620),
     ("DD", 36.1, 1178, 5748),
-    ("COLLAB", 15.4, 5000, 492),
-    ("IMDB-BINARY", 1.0, 1000, 136),
-    ("IMDB-MULTI", 1.6, 1500, 89),
+    ("COLLAB", 13.9, 5000, 492),
+    ("IMDB-BINARY", 0.7, 1000, 136),
+    ("IMDB-MULTI", 1.1, 1500, 89),
 ]
 
 LINK_BW = 45e9          # B/s one-way per ICI link (v5e)
