@@ -25,9 +25,16 @@ same torch-scatter aggregation (reference model.py:30-33), reformulated:
     device_coo.py pattern; `segment_of` replaced jnp.searchsorted after the
     2026-08-20 anatomy probe), so
     an epoch ships only its int32 shuffle matrix. Node features are
-    stored pre-reshaped into block-rows (`x_blocks [ΣNb, bs, F]`), so
-    batch assembly is a LEADING-AXIS block gather — per-node row gathers
-    (~60 cycles/element on TPU) never happen;
+    stored pre-reshaped into block-rows, TRANSPOSED to `x_blocks
+    [ΣNb, F, bs]` so the minor axis is the 128-lane block dimension —
+    with [ΣNb, bs, F] XLA's gather wants the bs axis minor and inserts
+    a relayout copy of the WHOLE array (183 µs on DD) into every
+    UNFUSED step program; the fused production scan hoists that copy
+    as loop-invariant (end-to-end A/B: neutral), so this layout
+    matters for single-step/serving call shapes, not the epoch
+    runners. Batch assembly is a leading-axis block gather plus a
+    cheap (fused) transpose of the gathered batch — per-node row
+    gathers (~60 cycles/element on TPU) never happen;
   * the backward of the propagation runs the SAME sorted-segment kernel
     over a col-major reordering of the item list (`item_permT`, baked at
     build time), instead of XLA's unsorted scatter-add transpose — see
@@ -73,8 +80,9 @@ class BlockGraphSet:
     block_start: [G+1]  first pool index of each graph (+ sentinel)
     block_count: [G+1]  stored blocks per graph (+ 0)
     nb:          [G+1]  block-rows per graph = ceil(n_g/bs) (+ 0)
-    x_blocks:    [ΣNb+1, bs, F] node features pre-reshaped into padded
-                        block-rows (+ zero sentinel block-row)
+    x_blocks:    [ΣNb+1, F, bs] node features pre-reshaped into padded
+                        block-rows, block axis MINOR (lane-aligned — see
+                        module docstring) (+ zero sentinel block-row)
     bofs:        [G+1]  first x_blocks row of each graph (+ total)
     node_count:  [G+1]  nodes per graph (+ 0)
     y:           [G+1]  labels (+ 0)
@@ -259,7 +267,10 @@ def build_block_graphset(dataset: GraphSet, bs: int = BLOCK_SIZE) -> BlockGraphS
 
         xb = np.zeros((nbi * bs, f), np.float32)
         xb[:n] = dataset.x[dataset.node_ptr[i] : dataset.node_ptr[i + 1]]
-        xbs.append(xb.reshape(nbi, bs, f))
+        # stored [nb, F, bs]: block axis minor (module docstring)
+        xbs.append(np.ascontiguousarray(
+            xb.reshape(nbi, bs, f).transpose(0, 2, 1)
+        ))
 
     block_start = np.zeros(g + 1, np.int32)
     np.cumsum(counts[:-1], out=block_start[1:])
@@ -276,9 +287,9 @@ def build_block_graphset(dataset: GraphSet, bs: int = BLOCK_SIZE) -> BlockGraphS
         block_count=counts,
         nb=np.concatenate([nb.astype(np.int32), [0]]),
         x_blocks=(
-            np.concatenate(xbs + [np.zeros((1, bs, f), np.float32)])
+            np.concatenate(xbs + [np.zeros((1, f, bs), np.float32)])
             if g
-            else np.zeros((1, bs, f), np.float32)
+            else np.zeros((1, f, bs), np.float32)
         ),
         bofs=bofs,
         node_count=np.concatenate(
@@ -382,7 +393,11 @@ def gather_block_batch_folds(
     qin = q[None, :] - jnp.take_along_axis(bo, slot_c, axis=1)
     g_of_q = jnp.take_along_axis(g, slot_c, axis=1)
     xb_row = jnp.where(q_ok, dev.bofs[g_of_q] + qin, sentinel_xb)
-    x = dev.x_blocks[xb_row.reshape(-1)].reshape(F, nb_budget * bs, -1)
+    x = (
+        dev.x_blocks[xb_row.reshape(-1)]
+        .transpose(0, 2, 1)  # [F·nb, F_feat, bs] → [F·nb, bs, F_feat]
+        .reshape(F, nb_budget * bs, -1)
+    )
 
     lane = jnp.arange(bs, dtype=jnp.int32)
     n_of = dev.node_count[g_of_q]  # [F, nb_budget]
@@ -488,7 +503,9 @@ def gather_block_batch(
     q_ok = q < bo[slots]
     qin = q - bo[slot_c]  # block-row index inside the graph
     xb_row = jnp.where(q_ok, dev.bofs[g[slot_c]] + qin, sentinel_xb)
-    x = dev.x_blocks[xb_row].reshape(nb_budget * bs, -1)
+    x = (
+        dev.x_blocks[xb_row].transpose(0, 2, 1).reshape(nb_budget * bs, -1)
+    )
 
     lane = jnp.arange(bs, dtype=jnp.int32)
     n_of = dev.node_count[g[slot_c]]  # [nb_budget]

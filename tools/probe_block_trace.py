@@ -77,11 +77,14 @@ def main(argv=None):
     w_budget = DeviceCooEngine._geom_round(max(bw, 64), 64)
     idx = jax.device_put(np.asarray(rows[0]))
 
+    # dev passed as an ARGUMENT: closing over the block pool inlines it
+    # as HLO constants and the transport's remote_compile rejects the
+    # request body (HTTP 413 — the profile_block_step.py note)
     @jax.jit
-    def step(params, opt_state, key, idx_row):
+    def step(params, opt_state, key, d, idx_row):
         def loss(p):
-            batch = gather_block_batch(dev, idx_row, nb_budget, w_budget)
-            lp = apply_block(p, model, batch, dev.pool,
+            batch = gather_block_batch(d, idx_row, nb_budget, w_budget)
+            lp = apply_block(p, model, batch, d.pool,
                              deterministic=False, dropout_rng=key)
             l, _ = nll_loss_and_correct(lp, batch.y, batch.graph_mask)
             return l
@@ -91,11 +94,11 @@ def main(argv=None):
         return optax.apply_updates(params, updates), opt_state, l
 
     key = jax.random.PRNGKey(0)
-    params, opt_state, l = step(params, opt_state, key, idx)  # compile
+    params, opt_state, l = step(params, opt_state, key, dev, idx)
     float(l)
     with trace(args.logdir):
         for _ in range(args.calls):
-            params, opt_state, l = step(params, opt_state, key, idx)
+            params, opt_state, l = step(params, opt_state, key, dev, idx)
         float(l)
     print("traced", args.calls, "steps ->", args.logdir)
 
