@@ -50,6 +50,7 @@ def main(argv=None):
 
     per_op = collections.Counter()
     calls = collections.Counter()
+    longname = {}
     t_min, t_max = float("inf"), 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -61,6 +62,11 @@ def main(argv=None):
         name = e.get("name", "?")
         per_op[name] += dur
         calls[name] += 1
+        # semantic origin when the profiler attached HLO metadata
+        a = e.get("args", {}) or {}
+        ln = a.get("long_name") or a.get("tf_op") or a.get("name")
+        if ln and name not in longname:
+            longname[name] = str(ln)
         ts = float(e.get("ts", 0.0))
         t_min = min(t_min, ts)
         t_max = max(t_max, ts + dur)
@@ -70,10 +76,10 @@ def main(argv=None):
     print(f"# device tracks: {sorted(set(names.values()))}")
     print(f"# device-op busy total: {total / 1e3:.2f} ms over a "
           f"{(t_max - t_min) / 1e3:.2f} ms span")
-    print(f"{'op':60s} {'total_ms':>9s} {'calls':>7s} {'%busy':>6s}")
+    print(f"{'op':40s} {'total_ms':>9s} {'calls':>7s} {'%busy':>6s}  origin")
     for name, dur in per_op.most_common(args.top):
-        print(f"{name[:60]:60s} {dur / 1e3:9.2f} {calls[name]:7d} "
-              f"{dur / total * 100:6.1f}")
+        print(f"{name[:40]:40s} {dur / 1e3:9.2f} {calls[name]:7d} "
+              f"{dur / total * 100:6.1f}  {longname.get(name, '')[:70]}")
 
 
 if __name__ == "__main__":
