@@ -97,3 +97,73 @@ def test_block_pallas_compiled_on_chip():
     r = _run_on_chip(_BLOCK_PALLAS, timeout=420)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
     assert "BLOCK_PALLAS_COMPILED_OK" in r.stdout, r.stdout
+
+
+_BLOCK_RESIDENT = textwrap.dedent(
+    """
+    import numpy as np, jax, jax.numpy as jnp
+    assert jax.default_backend() in ("tpu", "axon"), jax.default_backend()
+    from dgcnn_tpu.batching.block_sparse import (
+        block_batch_extents, build_block_graphset, gather_block_batch,
+    )
+    from dgcnn_tpu.data.synthetic import synthesize_tu_dataset
+    from dgcnn_tpu.kernels.block_resident import block_propagate_resident
+    from dgcnn_tpu.models.dgcnn import block_propagate
+
+    gs = synthesize_tu_dataset("DD", num_graphs=12, seed=7)
+    dev = jax.tree_util.tree_map(jnp.asarray, build_block_graphset(gs))
+    idx_row = np.full(8, -1, np.int32)
+    idx_row[:6] = np.arange(6)
+    nb, w = block_batch_extents(
+        np.asarray(dev.nb, np.int64),
+        np.asarray(dev.block_count, np.int64), idx_row[None],
+    )
+    batch = gather_block_batch(dev, jnp.asarray(idx_row), nb + 2, w + 5)
+    bs = dev.pool.shape[1]
+    for f in (32, 1):
+        hb = jnp.asarray(
+            np.random.default_rng(f)
+            .standard_normal((int(nb) + 2, bs, f)).astype(np.float32)
+        )
+        got = block_propagate_resident(
+            hb, dev.pool, batch.item_pool, batch.item_row,
+            batch.item_col, batch.item_permT, batch.item_colT, False,
+        )
+        blocks = dev.pool[batch.item_pool]
+        want = block_propagate(
+            hb, blocks, batch.item_row, batch.item_col,
+            batch.item_permT, batch.item_colT,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+        )
+        # the custom VJP's transposed-traversal pass through the same
+        # compiled kernel
+        g = jax.grad(lambda h: (block_propagate_resident(
+            h, dev.pool, batch.item_pool, batch.item_row,
+            batch.item_col, batch.item_permT, batch.item_colT, False,
+        ) ** 2).sum())(hb)
+        gw = jax.grad(lambda h: (block_propagate(
+            h, blocks, batch.item_row, batch.item_col,
+            batch.item_permT, batch.item_colT,
+        ) ** 2).sum())(hb)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(gw), rtol=5e-2, atol=5e-2
+        )
+        print("F", f, "ok")
+    print("BLOCK_RESIDENT_COMPILED_OK")
+    """
+)
+
+
+@pytest.mark.slow
+def test_block_resident_compiled_on_chip():
+    """The round-5 VMEM-resident kernel (kernels/block_resident.py) must
+    keep COMPILING through real Mosaic — it is a non-default measured
+    record, and interpret mode alone would let a lowering regression
+    (tile alignment, scalar-prefetch index maps) rot silently."""
+    if not _chip_up():
+        pytest.skip("no accelerator answered the probe (tunnel down?)")
+    r = _run_on_chip(_BLOCK_RESIDENT, timeout=420)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
+    assert "BLOCK_RESIDENT_COMPILED_OK" in r.stdout, r.stdout
