@@ -37,16 +37,28 @@ def _row_block_candidates(key, node_graph, num_graph_slots, k, row_block):
     Tie order is IDENTICAL to the full sort: lax.top_k breaks ties by
     lower index, candidates enumerate in (row, rank) order — which for
     equal keys is original node order — and the downstream sort is
-    stable. Returns [nb·k] original node rows in that order."""
+    stable.
+
+    Returns (cand_key [nb·k], cand_graph [nb·k], node_idx [nb·k]).
+    The candidate keys come straight from top_k's VALUES (padded nodes
+    carry −inf, but their graph id == num_graph_slots sorts them into
+    the dropped padding group regardless, exactly as in the full sort)
+    and the graph ids from a LANE-shaped take_along_axis — the earlier
+    flat [nb·k] 1-D gathers measured ~40 µs EACH on the DD step trace
+    (T(1024)-layout gathers; tools/summarize_trace.py, 2026-08-21)."""
     n = key.shape[0]
     nb = n // row_block
     keym = jnp.where(
         node_graph < num_graph_slots, key, -jnp.inf
     ).reshape(nb, row_block)
-    _, idx = jax.lax.top_k(keym, k)  # [nb, k] ties → lower index first
-    return (
+    val, idx = jax.lax.top_k(keym, k)  # [nb, k] ties → lower index first
+    node_idx = (
         idx + (jnp.arange(nb, dtype=jnp.int32) * row_block)[:, None]
     ).reshape(-1)
+    cand_graph = jnp.take_along_axis(
+        node_graph.reshape(nb, row_block), idx, axis=1
+    ).reshape(-1)
+    return val.reshape(-1), cand_graph, node_idx
 
 
 def sort_pool(
@@ -73,11 +85,9 @@ def sort_pool(
     key = x[:, -1].astype(jnp.float32)
 
     if row_block > k and n % row_block == 0:
-        node_idx = _row_block_candidates(
+        key, node_graph, node_idx = _row_block_candidates(
             key, node_graph, num_graph_slots, k, row_block
         )
-        key = jnp.take(key, node_idx)
-        node_graph = jnp.take(node_graph, node_idx)
     else:
         node_idx = jnp.arange(n, dtype=jnp.int32)
 
@@ -141,26 +151,23 @@ def sort_pool_folds(
     key = x[..., -1].astype(jnp.float32)
 
     if row_block > k and s % row_block == 0:
-        # flat-id candidate gathers: a fold-vmapped gather/take_along_axis
-        # lowers to a serialized batched form on TPU (the measured rule
-        # this module's docstrings record) — top_k itself is fine batched
-        # ([F·nb, rb] rows), and the candidate row gathers run on the
-        # flat [F·S] axis with fold offsets
+        # batched-row top_k with VALUE reuse + lane-shaped graph-id
+        # take_along_axis — same form as _row_block_candidates (the flat
+        # [F·S] 1-D gathers this replaced measured ~40 µs each on the
+        # DD step trace)
         nb_rows = s // row_block
         keym = jnp.where(
             node_graph < num_graph_slots, key, -jnp.inf
         ).reshape(f * nb_rows, row_block)
-        _, idx = jax.lax.top_k(keym, k)  # ties → lower index first
+        val, idx = jax.lax.top_k(keym, k)  # ties → lower index first
         node_idx = (
             idx + (jnp.arange(f * nb_rows, dtype=jnp.int32)
                    * row_block)[:, None]
         ).reshape(f, nb_rows * k) % s  # per-fold-local original rows
-        flat = (
-            node_idx
-            + (jnp.arange(f, dtype=jnp.int32) * s)[:, None]
-        ).reshape(-1)
-        key = jnp.take(key.reshape(-1), flat).reshape(f, -1)
-        node_graph = jnp.take(node_graph.reshape(-1), flat).reshape(f, -1)
+        key = val.reshape(f, nb_rows * k)
+        node_graph = jnp.take_along_axis(
+            node_graph.reshape(f * nb_rows, row_block), idx, axis=1
+        ).reshape(f, nb_rows * k)
     else:
         node_idx = jnp.broadcast_to(
             jnp.arange(s, dtype=jnp.int32)[None, :], (f, s)
