@@ -257,3 +257,4 @@ def sort_pool_dense(x: jax.Array, node_mask: jax.Array, k: int) -> jax.Array:
         "bkn,bnc->bkc", onehot, x, preferred_element_type=jnp.float32
     ).astype(x.dtype)
     return jnp.where(jnp.isfinite(top_val)[..., None], pooled, 0.0)
+
